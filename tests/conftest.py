@@ -1,0 +1,22 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set env vars before the first `import jax` anywhere in the test run so
+multi-chip sharding logic is testable without TPU hardware (SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1702)
