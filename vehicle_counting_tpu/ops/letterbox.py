@@ -1,0 +1,89 @@
+"""On-device letterbox preprocessing and coordinate restore.
+
+The reference delegates letterboxing to ultralytics AutoShape (loaded at
+networks/yolo.py:58) with the LongestMaxSize+Pad contract also spelled out in
+augmentations/transforms.py:50-55 and the inverse in
+utilities/postprocess.py:72-126. TPU-native version: fixed output shape
+(static under jit), bilinear resize + symmetric 114-gray padding fused into
+one compiled op; the inverse maps detector boxes back to source pixels.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+PAD_VALUE = 114.0  # ultralytics letterbox fill gray
+
+
+def letterbox_params(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]):
+    """Static (Python) letterbox geometry: scale gain and per-side padding.
+
+    Matches the contract of utilities/postprocess.py:72-109: gain =
+    min(dst/src), symmetric padding of the short side (split half/half).
+    Returns (gain, pad_x, pad_y, new_w, new_h) as Python floats/ints so the
+    jitted graph sees constants.
+    """
+    sh, sw = src_hw
+    dh, dw = dst_hw
+    gain = min(dh / sh, dw / sw)
+    new_w, new_h = round(sw * gain), round(sh * gain)
+    pad_x = (dw - new_w) / 2
+    pad_y = (dh - new_h) / 2
+    return gain, pad_x, pad_y, new_w, new_h
+
+
+def letterbox(images: jax.Array, dst_hw: Tuple[int, int]) -> jax.Array:
+    """Letterbox a batch of uint8/float RGB frames to dst_hw, normalized /255.
+
+    Args:
+      images: [B, H, W, 3] (uint8 or float, 0..255).
+      dst_hw: static (height, width) target, e.g. (640, 640).
+
+    Returns:
+      [B, dh, dw, 3] float32 in [0, 1] with gray padding.
+    """
+    b, sh, sw, c = images.shape
+    dh, dw = dst_hw
+    gain, pad_x, pad_y, new_w, new_h = letterbox_params((sh, sw), (dh, dw))
+
+    x = images.astype(jnp.float32)
+    x = jax.image.resize(x, (b, new_h, new_w, c), method="bilinear")
+    top, left = int(round(pad_y - 0.1)), int(round(pad_x - 0.1))
+    out = jnp.full((b, dh, dw, c), PAD_VALUE, dtype=jnp.float32)
+    out = jax.lax.dynamic_update_slice(out, x, (0, top, left, 0))
+    return out / 255.0
+
+
+def restore_boxes(
+    boxes: jax.Array, src_hw: Tuple[int, int], dst_hw: Tuple[int, int]
+) -> jax.Array:
+    """Map xyxy boxes from letterboxed coords back to source-frame pixels.
+
+    Inverse of `letterbox` (reference contract: utilities/postprocess.py:
+    72-126 — subtract pad, divide gain, clip to source bounds).
+    boxes: [..., 4] xyxy in dst (letterboxed) pixel space.
+    """
+    gain, pad_x, pad_y, _, _ = letterbox_params(src_hw, dst_hw)
+    x1, y1, x2, y2 = jnp.split(boxes, 4, axis=-1)
+    sh, sw = src_hw
+    out = jnp.concatenate(
+        [
+            (x1 - pad_x) / gain,
+            (y1 - pad_y) / gain,
+            (x2 - pad_x) / gain,
+            (y2 - pad_y) / gain,
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate(
+        [
+            jnp.clip(out[..., 0:1], 0, sw),
+            jnp.clip(out[..., 1:2], 0, sh),
+            jnp.clip(out[..., 2:3], 0, sw),
+            jnp.clip(out[..., 3:4], 0, sh),
+        ],
+        axis=-1,
+    )

@@ -1,0 +1,142 @@
+"""Fixed-shape greedy NMS for TPU.
+
+Two NMS flavors exist in the reference (SURVEY.md "hard parts"):
+  1. YOLO's batched class-aware IoU NMS (conf 0.25 / iou 0.45 / max_det 300;
+     thresholds configured at networks/yolo.py:62-66 from configs.yaml) —
+     done upstream by torchvision inside AutoShape;
+  2. SORT's greedy suppression with the +1 area / intersection-over-other-box
+     criterion (networks/deepsort/sort/preprocessing.py:6-73).
+
+Both are reformulated here as a *fixpoint iteration* instead of a sequential
+scan: with candidates sorted by priority, greedy-keep is the unique fixpoint
+of   k[i] = valid[i] AND NOT any_{j<i} (k[j] AND overlap[j,i] > thr).
+Iterating this converges in "suppression-chain depth" steps (rarely > 5) and
+each step is one [K,K] masked reduction — MXU/VPU-friendly, no per-box host
+loop, exact greedy result (uniqueness: induction over i).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vehicle_counting_tpu.ops.boxes import iou_matrix, sort_overlap_matrix
+
+# Class-offset trick for class-aware NMS on one shared matrix
+# (same constant ultralytics uses for its offset).
+MAX_WH = 7680.0
+
+
+def greedy_suppress(overlap: jax.Array, valid: jax.Array, threshold) -> jax.Array:
+    """Exact greedy NMS keep-mask by fixpoint iteration.
+
+    Args:
+      overlap: [K, K]; overlap[j, i] = how much keeping j suppresses i.
+               Rows/cols MUST be sorted by descending priority.
+      valid:   [K] bool candidate mask.
+      threshold: suppression threshold (suppress when overlap > threshold).
+
+    Returns:
+      keep [K] bool — identical to the sequential greedy scan.
+    """
+    k = overlap.shape[0]
+    # strictly-lower-triangular predecessor mask: j < i suppresses i
+    jj = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    pred = (jj < ii) & (overlap > threshold)  # [K, K] j suppresses i
+
+    def step(state):
+        keep, _ = state
+        new = valid & ~jnp.any(pred & keep[:, None], axis=0)
+        return new, jnp.any(new != keep)
+
+    def cond(state):
+        return state[1]
+
+    keep, _ = jax.lax.while_loop(cond, step, (valid, jnp.array(True)))
+    return keep
+
+
+@partial(jax.jit, static_argnames=("max_det", "pre_nms_topk"))
+def batched_nms(
+    boxes: jax.Array,
+    scores: jax.Array,
+    classes: jax.Array,
+    *,
+    iou_threshold=0.45,
+    score_threshold=0.25,
+    max_det: int = 300,
+    pre_nms_topk: int = 512,
+):
+    """Batched class-aware NMS with fixed output shapes.
+
+    Args:
+      boxes:   [B, N, 4] xyxy (detector-input pixel space).
+      scores:  [B, N] confidence (obj * cls for YOLO).
+      classes: [B, N] int class ids.
+
+    Returns:
+      dict with boxes [B, max_det, 4], scores [B, max_det],
+      classes [B, max_det] (int32), valid [B, max_det] bool —
+      score-sorted, zero-padded.
+    """
+
+    def per_image(bx, sc, cl):
+        conf_ok = sc > score_threshold
+        sc_m = jnp.where(conf_ok, sc, -1.0)
+        k = min(pre_nms_topk, sc.shape[0])
+        top_sc, idx = jax.lax.top_k(sc_m, k)
+        bx_k = bx[idx]
+        cl_k = cl[idx]
+        valid = top_sc > 0
+
+        # class-aware via coordinate offset, one shared IoU matrix
+        off = cl_k.astype(jnp.float32)[:, None] * MAX_WH
+        iou = iou_matrix(bx_k + off, bx_k + off)
+        keep = greedy_suppress(iou, valid, iou_threshold)
+
+        kept_sc = jnp.where(keep, top_sc, -1.0)
+        out_k = min(max_det, k)
+        out_sc, oidx = jax.lax.top_k(kept_sc, out_k)
+        out_valid = out_sc > 0
+        zero = ~out_valid
+        pad = max_det - out_k
+        out = {
+            "boxes": jnp.where(zero[:, None], 0.0, bx_k[oidx]),
+            "scores": jnp.where(zero, 0.0, out_sc),
+            "classes": jnp.where(zero, -1, cl_k[oidx]).astype(jnp.int32),
+            "valid": out_valid,
+        }
+        if pad:
+            out = {
+                "boxes": jnp.pad(out["boxes"], ((0, pad), (0, 0))),
+                "scores": jnp.pad(out["scores"], (0, pad)),
+                "classes": jnp.pad(out["classes"], (0, pad), constant_values=-1),
+                "valid": jnp.pad(out["valid"], (0, pad)),
+            }
+        return out
+
+    return jax.vmap(per_image)(boxes, scores, classes)
+
+
+def sort_nms_mask(tlwh: jax.Array, scores: jax.Array, valid: jax.Array, max_overlap) -> jax.Array:
+    """SORT-flavor greedy suppression keep-mask over tlwh detections.
+
+    Semantics of networks/deepsort/sort/preprocessing.py:6-73: process by
+    descending score (ties: HIGHER original index first, because np.argsort
+    ascending + take-last), suppress j when inter(i, j)/area(j) > max_overlap
+    with the +1 pixel convention. Returns keep mask aligned with the INPUT
+    order (no reordering), invalid rows always False.
+    """
+    n = tlwh.shape[0]
+    # priority = descending score, ties -> HIGHER original index first.
+    # Stable argsort over the reversed array yields exactly that ordering.
+    sc = jnp.where(valid, scores, -jnp.inf)
+    order = (n - 1) - jnp.argsort(-sc[::-1], stable=True)
+    overlap = sort_overlap_matrix(tlwh[order])  # [N,N] (i suppresses j): entry [i,j]
+    keep_sorted = greedy_suppress(overlap, valid[order], max_overlap)
+    # scatter back to input order
+    keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
+    return keep & valid
