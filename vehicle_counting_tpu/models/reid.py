@@ -1,0 +1,276 @@
+"""ReID appearance CNN in pure JAX (train + inference).
+
+Same network family as the reference's DeepSORT appearance model
+(networks/deepsort/deep/model.py:5-98): conv3x3(+bias)+BN+ReLU+maxpool(3,2,1)
+stem, then 4 stages of 2 residual BasicBlocks (64->64, 64->128/s2,
+128->256/s2, 256->512/s2), 4x4 avg-pool, and either an L2-normalized 512-d
+embedding (reid mode, model.py:93-95) or a 512->256->num_classes classifier
+head with BN+dropout (model.py:75-81).
+
+Unlike the YOLO path (fused at load), BatchNorm stays explicit here because
+this model is *trained* in-framework (train/reid_train.py mirrors
+deep/train.py); XLA fuses the BN epilogue into the conv at compile time, so
+inference pays nothing for it. Params and batch stats are separate pytrees
+(functional train step).
+
+Embedding inputs are 50x50 crops, ImageNet-normalized (the reference's
+feature_extractor.py:18-22 contract); crop gathering is in ops/crops.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vehicle_counting_tpu.models.layers import conv2d, max_pool
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+EMBED_DIM = 512
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1  # torch convention: new = (1-m)*old + m*batch
+
+STAGES = ((64, 64, False), (64, 128, True), (128, 256, True), (256, 512, True))
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _init_bn(c: int) -> Dict[str, jnp.ndarray]:
+    return {
+        "scale": jnp.ones((c,), jnp.float32),
+        "bias": jnp.zeros((c,), jnp.float32),
+    }
+
+
+def _init_bn_stats(c: int) -> Dict[str, jnp.ndarray]:
+    return {
+        "mean": jnp.zeros((c,), jnp.float32),
+        "var": jnp.ones((c,), jnp.float32),
+    }
+
+
+def _he(key, k, cin, cout):
+    w = jax.random.normal(key, (k, k, cin, cout), jnp.float32)
+    return w * jnp.sqrt(2.0 / (k * k * cin))
+
+
+def init_reid(key, num_classes: int = 751) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Returns (params, batch_stats)."""
+    keys = iter(jax.random.split(key, 64))
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["stem"] = {
+        "w": _he(next(keys), 3, 3, 64),
+        "b": jnp.zeros((64,), jnp.float32),
+        "bn": _init_bn(64),
+    }
+    stats["stem"] = _init_bn_stats(64)
+
+    for si, (cin, cout, ds) in enumerate(STAGES):
+        for bi in range(2):
+            name = f"layer{si + 1}_{bi}"
+            b_cin = cin if bi == 0 else cout
+            b_ds = ds and bi == 0
+            p = {
+                "conv1": {"w": _he(next(keys), 3, b_cin, cout)},
+                "bn1": _init_bn(cout),
+                "conv2": {"w": _he(next(keys), 3, cout, cout)},
+                "bn2": _init_bn(cout),
+            }
+            s = {"bn1": _init_bn_stats(cout), "bn2": _init_bn_stats(cout)}
+            if b_ds or b_cin != cout:
+                p["down"] = {"w": _he(next(keys), 1, b_cin, cout), "bn": _init_bn(cout)}
+                s["down"] = _init_bn_stats(cout)
+            params[name] = p
+            stats[name] = s
+
+    k1, k2 = next(keys), next(keys)
+    params["fc1"] = {
+        "w": jax.random.normal(k1, (EMBED_DIM, 256), jnp.float32) / jnp.sqrt(EMBED_DIM),
+        "b": jnp.zeros((256,), jnp.float32),
+        "bn": _init_bn(256),
+    }
+    stats["fc1"] = _init_bn_stats(256)
+    params["fc2"] = {
+        "w": jax.random.normal(k2, (256, num_classes), jnp.float32) / jnp.sqrt(256.0),
+        "b": jnp.zeros((num_classes,), jnp.float32),
+    }
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _bn(x, p, s, train: bool, axes=(0, 1, 2)):
+    if train:
+        mean = jnp.mean(x, axes)
+        var = jnp.var(x, axes)
+    else:
+        mean, var = s["mean"], s["var"]
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = (x - mean) * inv * p["scale"] + p["bias"]
+    if train:
+        n = x.size / mean.size
+        unbiased = var * n / max(n - 1, 1)
+        new_s = {
+            "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
+        }
+        return y, new_s
+    return y, s
+
+
+def _basic_block(p, s, x, stride: int, train: bool):
+    y = conv2d(x, p["conv1"]["w"], stride=stride)
+    y, s1 = _bn(y, p["bn1"], s["bn1"], train)
+    y = jax.nn.relu(y)
+    y = conv2d(y, p["conv2"]["w"])
+    y, s2 = _bn(y, p["bn2"], s["bn2"], train)
+    if "down" in p:
+        x = conv2d(x, p["down"]["w"], stride=stride, padding=0)
+        x, sd = _bn(x, p["down"]["bn"], s["down"], train)
+        new_s = {"bn1": s1, "bn2": s2, "down": sd}
+    else:
+        new_s = {"bn1": s1, "bn2": s2}
+    return jax.nn.relu(x + y), new_s
+
+
+def reid_forward(
+    params,
+    stats,
+    x,
+    *,
+    train: bool = False,
+    reid: bool = True,
+    dropout_key: Optional[jax.Array] = None,
+):
+    """x: [B, H, W, 3] normalized crops. Returns (out, new_stats).
+
+    reid=True  -> L2-normalized [B, 512] embeddings.
+    reid=False -> [B, num_classes] logits (training head).
+    """
+    new_stats: Dict[str, Any] = {}
+    y = conv2d(x, params["stem"]["w"]) + params["stem"]["b"]
+    y, new_stats["stem"] = _bn(y, params["stem"]["bn"], stats["stem"], train)
+    y = jax.nn.relu(y)
+    y = max_pool(y, 3, 2, 1)
+
+    for si, (cin, cout, ds) in enumerate(STAGES):
+        for bi in range(2):
+            name = f"layer{si + 1}_{bi}"
+            stride = 2 if (ds and bi == 0) else 1
+            y, new_stats[name] = _basic_block(params[name], stats[name], y, stride, train)
+
+    y = jax.lax.reduce_window(
+        y, 0.0, jax.lax.add, (1, 4, 4, 1), (1, 1, 1, 1), "VALID"
+    ) / 16.0
+    emb = y.reshape(y.shape[0], -1)  # [B, 512] (input 50x50 -> 1x1 spatial)
+
+    if reid:
+        norm = jnp.linalg.norm(emb, axis=1, keepdims=True)
+        new_stats["fc1"] = stats["fc1"]
+        return emb / jnp.maximum(norm, 1e-12), new_stats
+
+    h = emb @ params["fc1"]["w"] + params["fc1"]["b"]
+    h, new_stats["fc1"] = _bn(h, params["fc1"]["bn"], stats["fc1"], train, axes=(0,))
+    h = jax.nn.relu(h)
+    if train and dropout_key is not None:
+        keep = jax.random.bernoulli(dropout_key, 0.5, h.shape)
+        h = jnp.where(keep, h / 0.5, 0.0)
+    logits = h @ params["fc2"]["w"] + params["fc2"]["b"]
+    return logits, new_stats
+
+
+@partial(jax.jit, static_argnames=())
+def reid_embed(params, stats, crops):
+    """Inference embeddings for pre-normalized [D, 50, 50, 3] crops."""
+    emb, _ = reid_forward(params, stats, crops, train=False, reid=True)
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# torch .t7 conversion (name-mapped, BN kept explicit)
+# ---------------------------------------------------------------------------
+
+def reid_state_dict_to_pytree(sd) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Map the reference's `net_dict` names onto (params, batch_stats).
+
+    Torch layout: conv.0/conv.1 stem; layer{1..4}.{0,1}.conv1/bn1/conv2/bn2
+    (+ .downsample.0/.1); classifier.0 (linear), .1 (bn1d), .4 (linear).
+    """
+    import numpy as np
+
+    def t(w):  # OIHW -> HWIO
+        return jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+
+    def bn(prefix):
+        return (
+            {"scale": jnp.asarray(sd[f"{prefix}.weight"]), "bias": jnp.asarray(sd[f"{prefix}.bias"])},
+            {"mean": jnp.asarray(sd[f"{prefix}.running_mean"]), "var": jnp.asarray(sd[f"{prefix}.running_var"])},
+        )
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    bn_p, bn_s = bn("conv.1")
+    params["stem"] = {"w": t(sd["conv.0.weight"]), "b": jnp.asarray(sd["conv.0.bias"]), "bn": bn_p}
+    stats["stem"] = bn_s
+
+    for si in range(4):
+        for bi in range(2):
+            name = f"layer{si + 1}_{bi}"
+            tbase = f"layer{si + 1}.{bi}"
+            bn1_p, bn1_s = bn(f"{tbase}.bn1")
+            bn2_p, bn2_s = bn(f"{tbase}.bn2")
+            p = {
+                "conv1": {"w": t(sd[f"{tbase}.conv1.weight"])},
+                "bn1": bn1_p,
+                "conv2": {"w": t(sd[f"{tbase}.conv2.weight"])},
+                "bn2": bn2_p,
+            }
+            s = {"bn1": bn1_s, "bn2": bn2_s}
+            if f"{tbase}.downsample.0.weight" in sd:
+                dbn_p, dbn_s = bn(f"{tbase}.downsample.1")
+                p["down"] = {"w": t(sd[f"{tbase}.downsample.0.weight"]), "bn": dbn_p}
+                s["down"] = dbn_s
+            params[name] = p
+            stats[name] = s
+
+    if "classifier.0.weight" in sd:
+        import numpy as np
+
+        cbn_p, cbn_s = bn("classifier.1")
+        params["fc1"] = {
+            "w": jnp.asarray(np.transpose(sd["classifier.0.weight"])),
+            "b": jnp.asarray(sd["classifier.0.bias"]),
+            "bn": cbn_p,
+        }
+        stats["fc1"] = cbn_s
+        params["fc2"] = {
+            "w": jnp.asarray(np.transpose(sd["classifier.4.weight"])),
+            "b": jnp.asarray(sd["classifier.4.bias"]),
+        }
+    return params, stats
+
+
+def load_reid_weights(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load the reference `ckpt.t7` (or an .npz) into (params, stats)."""
+    if path.endswith(".npz"):
+        import numpy as np
+
+        data = np.load(path)
+        sd = {k: data[k] for k in data.files}
+    else:
+        from vehicle_counting_tpu.models.convert import (
+            extract_state_dict,
+            load_torch_checkpoint,
+        )
+
+        sd = extract_state_dict(load_torch_checkpoint(path))
+    return reid_state_dict_to_pytree(sd)

@@ -11,3 +11,4 @@ from vehicle_counting_tpu.ops.boxes import (
 )
 from vehicle_counting_tpu.ops.letterbox import letterbox_params, letterbox, restore_boxes
 from vehicle_counting_tpu.ops.nms import greedy_suppress, batched_nms, sort_nms_mask
+from vehicle_counting_tpu.ops.crops import gather_crops, crop_boxes_to_bounds, CROP_SIZE

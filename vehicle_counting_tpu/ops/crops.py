@@ -1,0 +1,91 @@
+"""On-device box-crop gather + bilinear resize for ReID embedding.
+
+Replaces the reference's host loop of `ori_img[y1:y2, x1:x2]` +
+`cv2.resize(..., (50, 50))` + ImageNet normalize (deep_sort.py:119-129,
+feature_extractor.py:26-39) with one fixed-shape gather kernel: all
+max_dets crops of a frame are sampled in parallel straight from the
+device-resident frame — no host round-trip between detector and embedder.
+
+Semantics matched:
+  * integer crop bounds: x1 = max(int(x), 0), x2 = min(int(x + w), W - 1)
+    (deep_sort.py:88-107), so the crop spans pixels [x1, x2) x [y1, y2);
+  * cv2 bilinear mapping src = (dst + 0.5) * (crop / 50) - 0.5 with edge
+    clamping inside the crop;
+  * /255 then (v - mean) / std with ImageNet stats.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+CROP_SIZE = 50
+_MEAN = jnp.asarray((0.485, 0.456, 0.406), jnp.float32)
+_STD = jnp.asarray((0.229, 0.224, 0.225), jnp.float32)
+
+
+def crop_boxes_to_bounds(boxes_xyxy: jax.Array, height: int, width: int):
+    """Float xyxy -> integer crop bounds (x1, y1, x2, y2), reference rules."""
+    b = boxes_xyxy
+    x1 = jnp.maximum(b[..., 0].astype(jnp.int32), 0)
+    y1 = jnp.maximum(b[..., 1].astype(jnp.int32), 0)
+    x2 = jnp.minimum(b[..., 2].astype(jnp.int32), width - 1)
+    y2 = jnp.minimum(b[..., 3].astype(jnp.int32), height - 1)
+    return x1, y1, x2, y2
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def gather_crops(
+    frame: jax.Array,
+    boxes_xyxy: jax.Array,
+    valid: jax.Array,
+    out_size: Tuple[int, int] = (CROP_SIZE, CROP_SIZE),
+) -> jax.Array:
+    """Sample normalized [D, oh, ow, 3] crops from one frame.
+
+    frame: [H, W, 3] uint8/float RGB (0..255). boxes: [D, 4] xyxy floats.
+    Invalid rows produce all-zero crops.
+    """
+    h, w, _ = frame.shape
+    oh, ow = out_size
+    img = frame.astype(jnp.float32) / 255.0
+    img = (img - _MEAN) / _STD
+
+    x1, y1, x2, y2 = crop_boxes_to_bounds(boxes_xyxy, h, w)
+    cw = jnp.maximum(x2 - x1, 1).astype(jnp.float32)  # crop spans [x1, x2)
+    ch = jnp.maximum(y2 - y1, 1).astype(jnp.float32)
+
+    di = jnp.arange(oh, dtype=jnp.float32)  # dst rows
+    dj = jnp.arange(ow, dtype=jnp.float32)  # dst cols
+
+    # cv2 bilinear source coords, per box [D, o*]
+    sy = y1[:, None].astype(jnp.float32) + jnp.clip(
+        (di[None, :] + 0.5) * (ch[:, None] / oh) - 0.5, 0.0, ch[:, None] - 1.0
+    )
+    sx = x1[:, None].astype(jnp.float32) + jnp.clip(
+        (dj[None, :] + 0.5) * (cw[:, None] / ow) - 0.5, 0.0, cw[:, None] - 1.0
+    )
+
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    fy = sy - y0
+    fx = sx - x0
+    y0c = jnp.clip(y0, 0, h - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    x0c = jnp.clip(x0, 0, w - 1)
+    x1c = jnp.clip(x0 + 1, 0, w - 1)
+
+    def sample_one(y0c_, y1c_, fy_, x0c_, x1c_, fx_):
+        # rows [oh, W, 3] then cols [oh, ow, 3]
+        r0 = img[y0c_]  # [oh, W, 3]
+        r1 = img[y1c_]
+        row = r0 * (1 - fy_)[:, None, None] + r1 * fy_[:, None, None]
+        c0 = row[:, x0c_]  # [oh, ow, 3]
+        c1 = row[:, x1c_]
+        return c0 * (1 - fx_)[None, :, None] + c1 * fx_[None, :, None]
+
+    crops = jax.vmap(sample_one)(y0c, y1c, fy, x0c, x1c, fx)  # [D, oh, ow, 3]
+    return jnp.where(valid[:, None, None, None], crops, 0.0)
