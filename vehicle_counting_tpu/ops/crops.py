@@ -23,8 +23,12 @@ import jax
 import jax.numpy as jnp
 
 CROP_SIZE = 50
-_MEAN = jnp.asarray((0.485, 0.456, 0.406), jnp.float32)
-_STD = jnp.asarray((0.229, 0.224, 0.225), jnp.float32)
+# numpy host constants (module-level device arrays would trigger remote
+# syncs during tracing on networked TPU backends)
+import numpy as _np
+
+_MEAN = _np.asarray((0.485, 0.456, 0.406), _np.float32)
+_STD = _np.asarray((0.229, 0.224, 0.225), _np.float32)
 
 
 def crop_boxes_to_bounds(boxes_xyxy: jax.Array, height: int, width: int):

@@ -1,0 +1,129 @@
+"""Multi-class DeepSORT: detections + frame -> per-class track updates.
+
+Role-equivalent of the reference's VideoTracker + DeepSort facade
+(modules/track.py:8-70, networks/deepsort/deep_sort.py:14-59): ONE tracker
+state per class (modules/track.py:16), each fed only its class's detections.
+TPU-native differences:
+  * ReID crops for ALL classes' detections are gathered and embedded in one
+    batched pass (classes partition association, not features — SURVEY.md §7.3);
+  * per-class detection lists become fixed [C, K, ...] tensors with validity
+    masks, slotted in detection order;
+  * confidence filter (> MIN_CONFIDENCE, deep_sort.py:31) and the SORT greedy
+    NMS at NMS_MAX_OVERLAP (deep_sort.py:33-37) run vectorized on device;
+  * the per-class tracker update runs under lax.scan over the class axis so
+    empty classes really skip (reference quirk: a class with no detections
+    this frame does not advance its tracker, modules/track.py:55-59).
+
+The whole thing is one jitted function `deepsort_frame`; the pipeline scans
+it over batches of frames.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vehicle_counting_tpu.models.reid import reid_forward
+from vehicle_counting_tpu.ops.boxes import xyxy_to_tlwh
+from vehicle_counting_tpu.ops.crops import gather_crops
+from vehicle_counting_tpu.ops.nms import sort_nms_mask
+from vehicle_counting_tpu.tracking.tracker import (
+    TrackerOutputs,
+    TrackerParams,
+    TrackerState,
+    init_state,
+    tracker_step,
+)
+
+
+class DeepSortParams(NamedTuple):
+    """Static facade config: tracker hyper-params + class count."""
+
+    tracker: TrackerParams
+    num_classes: int
+    min_confidence: float = 0.25  # MIN_CONFIDENCE
+    nms_max_overlap: float = 0.5  # NMS_MAX_OVERLAP
+
+
+def init_states(hp: DeepSortParams) -> TrackerState:
+    """Stacked per-class tracker states: every leaf gains a leading [C] axis."""
+    one = init_state(hp.tracker)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (hp.num_classes,) + x.shape).copy(), one
+    )
+
+
+def _slot_by_class(boxes, scores, classes, valid, num_classes: int, k: int):
+    """Scatter flat detections into fixed per-class arrays (detection order)."""
+    d = boxes.shape[0]
+
+    def per_class(c):
+        m = valid & (classes == c)
+        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+        tgt = jnp.where(m & (rank < k), rank, k)
+        cb = jnp.zeros((k, 4), boxes.dtype).at[tgt].set(boxes, mode="drop")
+        cs = jnp.zeros((k,), scores.dtype).at[tgt].set(scores, mode="drop")
+        cidx = jnp.full((k,), d, jnp.int32).at[tgt].set(
+            jnp.arange(d, dtype=jnp.int32), mode="drop"
+        )
+        cv = jnp.zeros((k,), bool).at[tgt].set(m, mode="drop")
+        return cb, cs, cidx, cv
+
+    out = jax.vmap(per_class)(jnp.arange(num_classes))
+    return out  # boxes [C,K,4], scores [C,K], det_index [C,K], valid [C,K]
+
+
+@partial(jax.jit, static_argnames=("hp",))
+def deepsort_frame(
+    states: TrackerState,
+    frame: jax.Array,     # [H, W, 3] uint8 RGB (original resolution)
+    boxes: jax.Array,     # [N, 4] xyxy source pixels (from the detector)
+    scores: jax.Array,    # [N]
+    classes: jax.Array,   # [N] i32
+    valid: jax.Array,     # [N] bool
+    reid_params,
+    reid_stats,
+    hp: DeepSortParams,
+) -> Tuple[TrackerState, TrackerOutputs]:
+    """One frame through all per-class trackers. Outputs have a [C, K] layout."""
+    h, w, _ = frame.shape
+    k = hp.tracker.capacity
+
+    # one batched crop+embed pass for every detection in the frame
+    crops = gather_crops(frame, boxes, valid)
+    feats, _ = reid_forward(reid_params, reid_stats, crops, train=False, reid=True)
+
+    cb, cs, cidx, cv = _slot_by_class(boxes, scores, classes, valid, hp.num_classes, k)
+    cf = jnp.where(
+        (cidx < boxes.shape[0])[..., None], feats[jnp.clip(cidx, 0, boxes.shape[0] - 1)], 0.0
+    )  # [C, K, F]
+
+    # a class advances its tracker iff it had ANY raw detection this frame
+    # (modules/track.py:55-59) — even if every one fails the conf filter
+    present = jnp.any(cv, axis=1)  # [C]
+
+    # confidence filter (deep_sort.py:31)
+    cv = cv & (cs > hp.min_confidence)
+    ct = xyxy_to_tlwh(cb)
+
+    # SORT greedy NMS per class (deep_sort.py:33-37)
+    keep = jax.vmap(lambda t, s, v: sort_nms_mask(t, s, v, hp.nms_max_overlap))(ct, cs, cv)
+    cv = cv & keep
+
+    width = jnp.int32(w)
+    height = jnp.int32(h)
+
+    def scan_body(_, xs):
+        st, t, s, f, v, pres = xs
+        st_new, out = tracker_step(
+            st, t, s, f, v, hp.tracker, width, height, present=pres
+        )
+        return None, (st_new, out)
+
+    _, (new_states, outputs) = jax.lax.scan(
+        scan_body, None, (states, ct, cs, cf, cv, present)
+    )
+    return new_states, outputs

@@ -1,0 +1,385 @@
+"""Fixed-capacity vectorized DeepSORT tracker core (one class instance).
+
+Reference semantics being reproduced (networks/deepsort/sort/tracker.py,
+track.py, nn_matching.py, linear_assignment.py, iou_matching.py), re-designed
+as a pure function over an SoA state pytree so `lax.scan` can drive it over
+frames on-device:
+
+  * track slots [K]: Kalman mean/cov, lifecycle state (0 empty, 1 tentative,
+    2 confirmed), hits/age/time_since_update, monotonically increasing ids
+    (tracker.py:133-139 `_next_id` order preserved: new tracks take ids in
+    detection order);
+  * appearance gallery as a [K, budget, F] ring buffer == "keep the last
+    `budget` samples" (nn_matching.py:137-154), fed through a pending buffer
+    so features accumulate while Tentative and flush on confirmation
+    (tracker.py:81-91 flushes only confirmed tracks' caches);
+  * matching cascade: for level in 0..max_age-1 match confirmed tracks with
+    time_since_update == 1+level against remaining detections
+    (linear_assignment.py:126-141), cost = min cosine distance to gallery
+    (nn_matching.py:156-177) gated at 1e5 where squared Mahalanobis > 9.4877
+    (linear_assignment.py:146-192), clamped at max_dist + 1e-5, Hungarian,
+    post-filtered at max_dist (linear_assignment.py:12-77). Levels with no
+    eligible tracks are skipped with lax.cond, so compiled work tracks real
+    occupancy;
+  * IoU stage on unconfirmed + just-missed tracks at max_iou_distance, with
+    the time_since_update > 1 -> INFTY row rule (iou_matching.py:73-76);
+  * lifecycle: hit -> KF update, hits+=1, tsu=0, confirm at hits >= n_init;
+    miss -> delete Tentative immediately, Confirmed when tsu > max_age
+    (track.py:129-156);
+  * per-frame outputs: confirmed tracks with tsu <= 1 as int xyxy clamped to
+    [0, W-1] x [0, H-1] (deep_sort.py:45-59, _tlwh_to_xyxy :96-107);
+  * empty-frame quirk: when the class has NO detections this frame the whole
+    step is a no-op (the reference never calls update for that class,
+    modules/track.py:55-59) — tracks do not age.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vehicle_counting_tpu.ops.boxes import tlwh_iou_matrix, tlwh_to_xyah
+from vehicle_counting_tpu.tracking import kalman
+from vehicle_counting_tpu.tracking.assignment import (
+    BIG,
+    matching_cost_matrix,
+    solve_assignment_sub,
+)
+
+INFTY_COST = 1e5  # linear_assignment.py:9
+
+EMPTY, TENTATIVE, CONFIRMED = 0, 1, 2
+
+
+@dataclass(frozen=True)
+class TrackerParams:
+    """Per-camera DeepSORT hyper-parameters (configs/cam_configs.yaml keys)."""
+
+    capacity: int = 64          # track slots K (== detection capacity)
+    feat_dim: int = 512
+    budget: int = 60            # NN_BUDGET gallery ring size
+    pending_cap: int = 8        # >= N_INIT
+    max_dist: float = 0.2       # MAX_DIST cosine matching threshold
+    max_iou_distance: float = 0.6
+    max_age: int = 30
+    n_init: int = 3
+
+
+class TrackerState(NamedTuple):
+    mean: jax.Array          # [K, 8]
+    cov: jax.Array           # [K, 8, 8]
+    track_id: jax.Array      # [K] i32
+    state: jax.Array         # [K] i32
+    hits: jax.Array          # [K] i32
+    age: jax.Array           # [K] i32
+    tsu: jax.Array           # [K] i32 time_since_update
+    gallery: jax.Array       # [K, B, F]
+    gallery_count: jax.Array # [K] i32 (total ever inserted; ring pos = count % B)
+    pending: jax.Array       # [K, P, F]
+    pending_count: jax.Array # [K] i32
+    last_conf: jax.Array     # [K] f32
+    next_id: jax.Array       # [] i32
+    overflow: jax.Array      # [] i32 count of dropped initiations
+
+
+class TrackerOutputs(NamedTuple):
+    boxes: jax.Array   # [K, 4] i32 xyxy
+    ids: jax.Array     # [K] i32
+    scores: jax.Array  # [K] f32
+    mask: jax.Array    # [K] bool
+
+
+def init_state(hp: TrackerParams) -> TrackerState:
+    k, b, f, p = hp.capacity, hp.budget, hp.feat_dim, hp.pending_cap
+    mean = jnp.zeros((k, 8), jnp.float32).at[:, 3].set(1.0)  # h=1 keeps cholesky finite
+    return TrackerState(
+        mean=mean,
+        cov=jnp.tile(jnp.eye(8, dtype=jnp.float32)[None], (k, 1, 1)),
+        track_id=jnp.zeros((k,), jnp.int32),
+        state=jnp.zeros((k,), jnp.int32),
+        hits=jnp.zeros((k,), jnp.int32),
+        age=jnp.zeros((k,), jnp.int32),
+        tsu=jnp.zeros((k,), jnp.int32),
+        gallery=jnp.zeros((k, b, f), jnp.float32),
+        gallery_count=jnp.zeros((k,), jnp.int32),
+        pending=jnp.zeros((k, p, f), jnp.float32),
+        pending_count=jnp.zeros((k,), jnp.int32),
+        last_conf=jnp.zeros((k,), jnp.float32),
+        next_id=jnp.int32(1),
+        overflow=jnp.int32(0),
+    )
+
+
+def _appearance_cost(st: TrackerState, feat: jax.Array, hp: TrackerParams) -> jax.Array:
+    """[K, D] min cosine distance of each detection to each track's gallery."""
+    f_n = feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
+    sims = jnp.einsum("kbf,df->kbd", st.gallery, f_n)  # gallery stored normalized
+    b = st.gallery.shape[1]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    slot_valid = slot < jnp.minimum(st.gallery_count, b)[:, None]  # [K, B]
+    dist = 1.0 - sims
+    dist = jnp.where(slot_valid[:, :, None], dist, INFTY_COST)
+    return jnp.min(dist, axis=1)  # [K, D]
+
+
+def _match_stage(cost, rows, det_free, track_col, threshold, row_order, det_key, stage_base):
+    """One min_cost_matching pass over masked rows/cols.
+
+    Besides matches, maintains `det_key`: the reference's unmatched-detections
+    list order (linear_assignment.py:69-76 appends matched-but-rejected
+    detections to the END, in row order = ascending track id, and
+    tracker.py:77-79 initiates new tracks in that list order). Rejected
+    detections get key = stage_base * K + rank(track_id among rejectors),
+    which sorts them behind every not-yet-rejected detection while preserving
+    the within-stage row order.
+    """
+    k = cost.shape[0]
+    imax = jnp.iinfo(jnp.int32).max
+
+    def solve(args):
+        det_free_, track_col_, det_key_ = args
+        nr = jnp.sum(rows.astype(jnp.int32))
+        nc = jnp.sum(det_free_.astype(jnp.int32))
+        # compact: real rows first in reference row order, real cols first in
+        # unmatched-list order — scipy tie-breaking scans in these orders.
+        row_perm = jnp.argsort(jnp.where(rows, row_order, imax), stable=True)
+        col_perm = jnp.argsort(jnp.where(det_free_, det_key_, imax), stable=True)
+        c = matching_cost_matrix(cost, rows, det_free_, threshold)
+        c2 = c[row_perm][:, col_perm]
+        r2c = solve_assignment_sub(c2, nr, nc)  # permuted row -> permuted col
+
+        a = jnp.arange(k)
+        paired = (a < nr) & (r2c >= 0) & (r2c < nc)
+        cost_at = c2[a, jnp.clip(r2c, 0, k - 1)]
+        accept = paired & (cost_at <= threshold)
+        reject = paired & ~accept
+        slot_col = col_perm[jnp.clip(r2c, 0, k - 1)]
+
+        track_col_ = track_col_.at[jnp.where(accept, row_perm, k)].set(
+            jnp.where(accept, slot_col, -1), mode="drop"
+        )
+        taken = jnp.zeros_like(det_free_).at[jnp.where(accept, slot_col, k)].set(
+            True, mode="drop"
+        )
+        # demote rejected detections in submatrix row order (= scipy's
+        # ascending row_ind, the order min_cost_matching appends them)
+        rank = jnp.cumsum(reject.astype(jnp.int32)) - 1
+        det_key_ = det_key_.at[jnp.where(reject, slot_col, k)].set(
+            stage_base * k + rank, mode="drop"
+        )
+        return det_free_ & ~taken, track_col_, det_key_
+
+    do = jnp.any(rows) & jnp.any(det_free)
+    return jax.lax.cond(do, solve, lambda a: a, (det_free, track_col, det_key))
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("hp",))
+def tracker_step(
+    st: TrackerState,
+    tlwh: jax.Array,    # [K, 4] detection boxes (post conf-filter + NMS)
+    conf: jax.Array,    # [K]
+    feat: jax.Array,    # [K, F] appearance embeddings (L2-normalized upstream)
+    det_valid: jax.Array,  # [K] bool
+    hp: TrackerParams,
+    width,
+    height,
+    present=None,
+) -> Tuple[TrackerState, TrackerOutputs]:
+    """One frame for one class. Detection capacity equals track capacity K.
+
+    `present`: whether the class had ANY raw detection this frame — BEFORE the
+    confidence filter. The reference only skips a class's update when the
+    per-class detection list is empty (modules/track.py:55-59); if detections
+    exist but all fall below MIN_CONFIDENCE, the tracker still advances with
+    an empty detection set (deep_sort.py:31,41-42). Defaults to
+    any(det_valid) for callers that pre-filter.
+    """
+    k = hp.capacity
+    if present is None:
+        present = jnp.any(det_valid)
+
+    def no_dets(st_):
+        empty = TrackerOutputs(
+            boxes=jnp.zeros((k, 4), jnp.int32),
+            ids=jnp.zeros((k,), jnp.int32),
+            scores=jnp.zeros((k,), jnp.float32),
+            mask=jnp.zeros((k,), bool),
+        )
+        return st_, empty
+
+    def run(st_):
+        return _tracker_step_impl(st_, tlwh, conf, feat, det_valid, hp, width, height)
+
+    return jax.lax.cond(present, run, no_dets, st)
+
+
+def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height):
+    k = hp.capacity
+    active = st.state > EMPTY
+
+    # ---- predict (tracker.py:50-56: every live track ages) -----------------
+    pm, pc = kalman.predict(st.mean, st.cov)
+    mean = jnp.where(active[:, None], pm, st.mean)
+    cov = jnp.where(active[:, None, None], pc, st.cov)
+    age = st.age + active.astype(jnp.int32)
+    tsu = st.tsu + active.astype(jnp.int32)
+
+    det_xyah = tlwh_to_xyah(tlwh)
+    f_n = feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
+
+    # ---- association costs (computed once; masks select per stage) ---------
+    app = _appearance_cost(st._replace(mean=mean), feat, hp)  # [K, D]
+    maha = kalman.gating_distance(mean, cov, det_xyah)        # [K, D]
+    gated = jnp.where(maha > kalman.CHI2INV95_4DOF, INFTY_COST, app)
+    gated = jnp.where(det_valid[None, :], gated, BIG)
+
+    confirmed = st.state == CONFIRMED
+
+    # ---- matching cascade over age levels ----------------------------------
+    det_free0 = det_valid
+    track_col0 = jnp.full((k,), -1, jnp.int32)
+    # init-order key: original detection index; rejections demote (see
+    # _match_stage). stage_base starts at 1 so any demotion sorts last.
+    det_key0 = jnp.arange(k, dtype=jnp.int32)
+
+    def level_body(carry, level):
+        det_free_, track_col_, det_key_ = carry
+        rows = confirmed & (tsu == 1 + level)
+        carry = _match_stage(
+            gated, rows, det_free_, track_col_, hp.max_dist,
+            st.track_id, det_key_, 1 + level,
+        )
+        return carry, None
+
+    (det_free, track_col, det_key), _ = jax.lax.scan(
+        level_body, (det_free0, track_col0, det_key0), jnp.arange(hp.max_age)
+    )
+
+    # ---- IoU stage (tracker.py:117-127) -------------------------------------
+    tentative = st.state == TENTATIVE
+    iou_rows = tentative | (confirmed & (track_col < 0) & (tsu == 1))
+    iou_cost = 1.0 - tlwh_iou_matrix(kalman.to_tlwh(mean), tlwh)
+    iou_cost = jnp.where(tsu[:, None] > 1, INFTY_COST, iou_cost)  # iou_matching.py:73-76
+    # row order in the reference's IoU stage: unconfirmed tracks first
+    # (tracker.py:117-121), each group in track-list (= id) order.
+    iou_order = st.track_id + jnp.where(confirmed, 1 << 20, 0)
+    det_free, track_col, det_key = _match_stage(
+        iou_cost, iou_rows, det_free, track_col, hp.max_iou_distance,
+        iou_order, det_key, 1 + hp.max_age,
+    )
+
+    # ---- matched: KF update + lifecycle (track.py:129-148) ------------------
+    matched = track_col >= 0
+    gcol = jnp.where(matched, track_col, 0)
+    meas = det_xyah[gcol]
+    um, uc = kalman.update(mean, cov, meas)
+    mean = jnp.where(matched[:, None], um, mean)
+    cov = jnp.where(matched[:, None, None], uc, cov)
+    hits = st.hits + matched.astype(jnp.int32)
+    tsu = jnp.where(matched, 0, tsu)
+    last_conf = jnp.where(matched, conf[gcol], st.last_conf)
+
+    # pending feature append for matched tracks
+    pend_pos = jnp.minimum(st.pending_count, hp.pending_cap - 1)
+    pending = st.pending.at[jnp.arange(k), pend_pos].set(
+        jnp.where(matched[:, None], f_n[gcol], st.pending[jnp.arange(k), pend_pos])
+    )
+    pending_count = jnp.where(
+        matched, jnp.minimum(st.pending_count + 1, hp.pending_cap), st.pending_count
+    )
+
+    state = st.state
+    state = jnp.where((state == TENTATIVE) & (hits >= hp.n_init), CONFIRMED, state)
+
+    # ---- missed: delete tentative, expire confirmed (track.py:150-156) ------
+    missed = active & ~matched
+    delete = (missed & (st.state == TENTATIVE)) | (missed & (tsu > hp.max_age))
+    state = jnp.where(delete, EMPTY, state)
+    gallery_count = jnp.where(delete, 0, st.gallery_count)
+    pending_count = jnp.where(delete, 0, pending_count)
+
+    # ---- initiate new tracks from unmatched detections ----------------------
+    unmatched_det = det_valid & det_free
+    # new tracks take ids in the unmatched-detections LIST order (original
+    # index order, with Hungarian-rejected detections demoted; see det_key)
+    order_key = jnp.where(unmatched_det, det_key, jnp.iinfo(jnp.int32).max)
+    det_rank = jnp.sum(order_key[:, None] > order_key[None, :], axis=1)
+    free = state == EMPTY
+    free_pos = jnp.cumsum(free.astype(jnp.int32)) - 1
+    num_free = jnp.sum(free.astype(jnp.int32))
+    slot_of_rank = jnp.full((k,), k, jnp.int32).at[
+        jnp.where(free, free_pos, k)
+    ].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
+
+    place = unmatched_det & (det_rank < num_free)
+    target = jnp.where(place, slot_of_rank[jnp.clip(det_rank, 0, k - 1)], k)  # [D]->slot
+
+    nm, ncv = kalman.initiate(det_xyah)  # [D, 8], [D, 8, 8]
+    mean = mean.at[target].set(nm, mode="drop")
+    cov = cov.at[target].set(ncv, mode="drop")
+    new_ids = (st.next_id + det_rank).astype(jnp.int32)
+    track_id = st.track_id.at[target].set(new_ids, mode="drop")
+    state = state.at[target].set(TENTATIVE, mode="drop")
+    hits = hits.at[target].set(1, mode="drop")
+    age = age.at[target].set(1, mode="drop")
+    tsu = tsu.at[target].set(0, mode="drop")
+    last_conf = last_conf.at[target].set(conf, mode="drop")
+    gallery_count = gallery_count.at[target].set(0, mode="drop")
+    pending = pending.at[target, 0].set(f_n, mode="drop")
+    pending_count = pending_count.at[target].set(1, mode="drop")
+
+    num_new = jnp.sum(place.astype(jnp.int32))
+    next_id = st.next_id + num_new
+    overflow = st.overflow + jnp.sum((unmatched_det & ~place).astype(jnp.int32))
+
+    # ---- gallery flush for confirmed tracks (tracker.py:81-91) -------------
+    gallery = st.gallery
+    conf_mask = state == CONFIRMED
+    b = hp.budget
+    for i in range(hp.pending_cap):
+        put = conf_mask & (i < pending_count)
+        pos = (gallery_count + i) % b
+        cur = gallery[jnp.arange(gallery.shape[0]), pos]
+        gallery = gallery.at[jnp.arange(gallery.shape[0]), pos].set(
+            jnp.where(put[:, None], pending[:, i], cur)
+        )
+    gallery_count = jnp.where(conf_mask, gallery_count + pending_count, gallery_count)
+    pending_count = jnp.where(conf_mask, 0, pending_count)
+
+    new_state = TrackerState(
+        mean=mean,
+        cov=cov,
+        track_id=track_id,
+        state=state,
+        hits=hits,
+        age=age,
+        tsu=tsu,
+        gallery=gallery,
+        gallery_count=gallery_count,
+        pending=pending,
+        pending_count=pending_count,
+        last_conf=last_conf,
+        next_id=next_id,
+        overflow=overflow,
+    )
+
+    # ---- outputs (deep_sort.py:45-59) ---------------------------------------
+    out_mask = (state == CONFIRMED) & (tsu <= 1)
+    t = kalman.to_tlwh(mean)
+    x1 = jnp.maximum(t[:, 0].astype(jnp.int32), 0)
+    y1 = jnp.maximum(t[:, 1].astype(jnp.int32), 0)
+    x2 = jnp.minimum((t[:, 0] + t[:, 2]).astype(jnp.int32), width - 1)
+    y2 = jnp.minimum((t[:, 1] + t[:, 3]).astype(jnp.int32), height - 1)
+    outputs = TrackerOutputs(
+        boxes=jnp.stack([x1, y1, x2, y2], axis=-1) * out_mask[:, None],
+        ids=track_id * out_mask,
+        scores=last_conf * out_mask,
+        mask=out_mask,
+    )
+    return new_state, outputs
