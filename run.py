@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Vehicle counting CLI — same surface as the reference run.py.
+
+    python run.py --input_path <video-or-dir> --output_path <dir> \
+        [--weight ckpt.pt] [--debug] [--mapping coco] [--no_visualize]
+
+Reference flags (run.py:6-12): --weight, --input_path, --output_path, --gpus,
+--debug, --mapping. `--gpus` is accepted for compatibility but device
+selection is JAX-managed on TPU. The COCO->vehicle MAPPING_DICT
+(run.py:38-46) is applied with `--mapping coco` (and automatically for
+80-class checkpoints).
+"""
+
+import argparse
+import os
+
+parser = argparse.ArgumentParser(description="Perform Counting vehicles (TPU-native)")
+parser.add_argument("--weight", type=str, default=None, help="checkpoint of yolo (.pt/.npz)")
+parser.add_argument("--input_path", type=str, required=True, help="video file or directory")
+parser.add_argument("--output_path", type=str, required=True, help="directory for CSV/MP4 outputs")
+parser.add_argument("--gpus", type=str, default="0", help="accepted for parity; unused on TPU")
+parser.add_argument("--debug", action="store_true", help="verbose per-video output")
+parser.add_argument("--mapping", default=None, help="'coco' -> COCO->vehicle class mapping")
+parser.add_argument("--config", type=str, default=None, help="path to configs.yaml override")
+parser.add_argument("--cam_config", type=str, default=None, help="path to cam_configs.yaml override")
+parser.add_argument("--no_visualize", action="store_true", help="skip the annotated-MP4 second pass")
+
+
+def main(args, config, cam_config):
+    from vehicle_counting_tpu.models.detector import COCO_VEHICLE_MAPPING
+    from vehicle_counting_tpu.pipeline import CountingPipeline
+
+    args.mapping_dict = COCO_VEHICLE_MAPPING if args.mapping == "coco" else None
+
+    print(config)
+    pipeline = CountingPipeline(args, config, cam_config)
+    results = pipeline.run(visualize=not args.no_visualize)
+    for r in results:
+        if r.get("csv"):
+            print(f"{r['csv']}: {r['frames']} frames @ {r['fps']:.1f} fps; counts={r['counts']}")
+        else:
+            print(f"FAILED {r.get('video')}: {r.get('error')}")
+    return results
+
+
+if __name__ == "__main__":
+    from vehicle_counting_tpu.configs import Config, default_cam_config, default_config
+
+    args = parser.parse_args()
+    config = Config(args.config) if args.config else (
+        Config(os.path.join("configs", "configs.yaml"))
+        if os.path.exists(os.path.join("configs", "configs.yaml"))
+        else default_config()
+    )
+    cam_config = Config(args.cam_config) if args.cam_config else (
+        Config(os.path.join("configs", "cam_configs.yaml"))
+        if os.path.exists(os.path.join("configs", "cam_configs.yaml"))
+        else default_cam_config()
+    )
+    main(args, config, cam_config)

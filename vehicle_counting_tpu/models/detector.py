@@ -34,7 +34,7 @@ VEHICLE_CLASS_NAMES: Tuple[str, ...] = ("motorbike", "car", "bus", "truck")
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "image_size", "src_hw", "max_det", "conf_thres", "iou_thres", "dtype"),
+    static_argnames=("cfg", "image_size", "src_hw", "max_det", "dtype"),
 )
 def detect_step(
     params: Dict[str, Any],

@@ -57,7 +57,9 @@ def conv_block(params, x, *, stride=1, padding=None, groups=1, act=True, dtype=N
 def max_pool(x, k: int, stride: int = 1, padding: Optional[int] = None):
     """Max pool matching torch MaxPool2d(k, stride, padding) semantics."""
     p = autopad(k, padding)
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min) so JAX recognizes the max monoid and keeps the
+    # pooling differentiable for the ReID trainer
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x,
         neg,

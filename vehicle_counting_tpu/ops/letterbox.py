@@ -57,6 +57,28 @@ def letterbox(images: jax.Array, dst_hw: Tuple[int, int]) -> jax.Array:
     return out / 255.0
 
 
+def host_letterbox(frames: "object", dst_hw: Tuple[int, int]):
+    """cv2 letterbox on host (uint8 in/out) — same geometry as `letterbox`.
+
+    Used by the upload-thin path: sending 640x640 letterboxed uint8 instead
+    of full-resolution frames cuts host->device bytes ~2.2x for 720p; the
+    device then only divides by 255. Crops for ReID are taken from the
+    letterboxed frame via the (gain, pad) transform.
+    """
+    import cv2
+    import numpy as np
+
+    b, sh, sw, c = frames.shape
+    dh, dw = dst_hw
+    gain, pad_x, pad_y, new_w, new_h = letterbox_params((sh, sw), (dh, dw))
+    top, left = int(round(pad_y - 0.1)), int(round(pad_x - 0.1))
+    out = np.full((b, dh, dw, c), int(PAD_VALUE), dtype=np.uint8)
+    for i in range(b):
+        r = cv2.resize(frames[i], (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+        out[i, top : top + new_h, left : left + new_w] = r
+    return out
+
+
 def restore_boxes(
     boxes: jax.Array, src_hw: Tuple[int, int], dst_hw: Tuple[int, int]
 ) -> jax.Array:

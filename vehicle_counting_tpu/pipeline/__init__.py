@@ -1,0 +1,231 @@
+"""End-to-end counting pipeline orchestration (reference: modules/__init__.py).
+
+Per video (the unit of fault isolation, modules/__init__.py:29): open the
+stream, build per-class tracker states from the camera's tracking_config,
+stream fixed-size frame batches through ONE fused jitted device step
+(detect+track, pipeline/step.py), accumulate the small [B, C, K] track
+outputs on host, then run zone filtering + direction assignment + CSV
+(counting/) and the annotated-video second pass (counting/visualize.py).
+
+Artifacts match the reference exactly: {output}/{cam}.csv with the 10-column
+schema, zone annotation at {zone_path}/{cam}.json, camera params from
+cam_config.cam[cam] (modules/__init__.py:88-101).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from vehicle_counting_tpu.configs import Config, default_cam_config, default_config
+from vehicle_counting_tpu.counting import VehicleCounter, count_directions
+from vehicle_counting_tpu.counting.visualize import visualize_merged
+from vehicle_counting_tpu.data import VideoReader, VideoWriter, list_videos
+from vehicle_counting_tpu.models.detector import COCO_VEHICLE_MAPPING, VEHICLE_CLASS_NAMES
+
+
+def enable_compilation_cache(path: str = "~/.cache/vct_jax_cache") -> None:
+    """Persistent XLA compilation cache: the fused step compiles once ever."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser(path))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass  # older jax without these flags
+
+
+class CountingPipeline:
+    """Mirror of the reference CountingPipeline surface (modules/__init__.py:7-101)."""
+
+    def __init__(self, args, config: Optional[Config] = None, cam_config: Optional[Config] = None):
+        import jax
+        import jax.numpy as jnp
+
+        from vehicle_counting_tpu.models.yolo import YoloConfig, init_yolov5
+        from vehicle_counting_tpu.models.reid import init_reid, load_reid_weights
+        from vehicle_counting_tpu.tracking import DeepSortParams, TrackerParams, init_states
+
+        enable_compilation_cache()
+
+        self.config = config or default_config()
+        self.cam_config = cam_config or default_cam_config()
+        self.args = args
+        self.video_path = args.input_path
+        self.saved_path = args.output_path
+        self.zone_path = self.cam_config.zone_path
+        os.makedirs(self.saved_path or ".", exist_ok=True)
+
+        # ---- detector ------------------------------------------------------
+        weight = getattr(args, "weight", None)
+        variant = self.config.model_name or "yolov5s"
+        if weight:
+            from vehicle_counting_tpu.models.convert import load_yolov5_weights
+
+            self.yolo_params = load_yolov5_weights(weight)
+            nc = self.yolo_params["24"]["m"][0]["b"].shape[0] // 3 - 5
+        else:
+            nc = 80
+            self.yolo_params = init_yolov5(jax.random.PRNGKey(0), YoloConfig(variant=variant, num_classes=nc))
+        self.ycfg = YoloConfig(variant=variant, num_classes=nc)
+
+        # ---- class mapping -------------------------------------------------
+        mapping: Optional[Dict[int, int]] = getattr(args, "mapping_dict", None)
+        if mapping is None and nc > 8:
+            # COCO checkpoints need the vehicle mapping to keep per-class
+            # tracker count sane; the reference CLI ships the same dict
+            # (run.py:38-46).
+            mapping = COCO_VEHICLE_MAPPING
+        if mapping:
+            self.class_names = list(VEHICLE_CLASS_NAMES)[: max(mapping.values()) + 1]
+            lut = np.full((nc,), -1, np.int32)
+            for src, dst in mapping.items():
+                lut[src] = dst
+        else:
+            self.class_names = [str(i) for i in range(nc)]
+            lut = np.arange(nc, dtype=np.int32)
+        self.class_lut = jnp.asarray(lut)
+        self.num_classes = len(self.class_names)
+
+        # ---- ReID ----------------------------------------------------------
+        ckpt = self.cam_config.checkpoint or self.config.reid_checkpoint
+        if ckpt and os.path.exists(ckpt):
+            self.reid_params, self.reid_stats = load_reid_weights(ckpt)
+        else:
+            self.reid_params, self.reid_stats = init_reid(jax.random.PRNGKey(1))
+
+        # ---- shapes / thresholds ------------------------------------------
+        image_size = self.config.image_size or [640, 640]
+        self.image_size = (int(image_size[0]), int(image_size[1]))
+        self.conf_thres = float(self.config.min_conf or 0.25)
+        self.iou_thres = float(self.config.min_iou or 0.45)
+        self.max_det = int(self.config.max_det) if (self.config.max_det or 0) > 0 else 300
+        self.batch_size = int(self.config.detect_batch or 8)
+        self.capacity = int(self.config.max_tracks_per_class or 64)
+        self.dtype = jnp.float32 if self.config.compute_dtype == "float32" else jnp.bfloat16
+
+        if os.path.isdir(self.video_path):
+            self.all_video_paths = list_videos(self.video_path)
+        else:
+            self.all_video_paths = [self.video_path]
+
+        self._DeepSortParams = DeepSortParams
+        self._TrackerParams = TrackerParams
+        self._init_states = init_states
+
+    # -- helpers -------------------------------------------------------------
+    @staticmethod
+    def get_cam_name(path: str) -> str:
+        return os.path.basename(path)[:-4]  # modules/__init__.py:23-26
+
+    def _cam_params(self, cam_name: str):
+        cams = self.cam_config.cam or {}
+        cfg = cams.get(cam_name) or cams.get("default")
+        tc = (cfg or {}).get("tracking_config", {})
+        tracker = self._TrackerParams(
+            capacity=self.capacity,
+            feat_dim=512,
+            budget=int(tc.get("NN_BUDGET", 60)),
+            pending_cap=8,
+            max_dist=float(tc.get("MAX_DIST", 0.2)),
+            max_iou_distance=float(tc.get("MAX_IOU_DISTANCE", 0.6)),
+            max_age=int(tc.get("MAX_AGE", 30)),
+            n_init=int(tc.get("N_INIT", 3)),
+        )
+        return self._DeepSortParams(
+            tracker=tracker,
+            num_classes=self.num_classes,
+            min_confidence=float(tc.get("MIN_CONFIDENCE", 0.25)),
+            nms_max_overlap=float(tc.get("NMS_MAX_OVERLAP", 0.5)),
+        )
+
+    # -- main ----------------------------------------------------------------
+    def run_video(self, video_path: str, visualize: bool = True) -> Dict:
+        """Process one video; returns {'csv': path, 'counts': {...}, 'fps': float}."""
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        from vehicle_counting_tpu.pipeline.step import pipeline_batch_step
+
+        cam_name = self.get_cam_name(video_path)
+        reader = VideoReader(video_path, batch_size=self.batch_size)
+        info = reader.video_info
+        hp = self._cam_params(cam_name)
+        states = self._init_states(hp)
+
+        zone_file = os.path.join(self.zone_path, cam_name + ".json")
+        counter = VehicleCounter(self.class_names, zone_file)
+
+        rows = {"frames": [], "tracks": [], "labels": [], "boxes": []}
+        num_frames = 0
+        t_start = time.perf_counter()
+
+        # thin upload: host-letterbox to the detector size so the PCIe/tunnel
+        # transfer shrinks ~(src_area / dst_area); crops come from the
+        # letterboxed frame, coordinates stay in source pixels
+        thin = self.config.thin_upload
+        thin = True if thin is None else bool(thin)
+
+        from vehicle_counting_tpu.ops.letterbox import host_letterbox
+
+        for frames, frame_ids, valid in reader.batches():
+            if thin:
+                frames = host_letterbox(frames, self.image_size)
+            fdev = jax.device_put(frames)
+            states, det, touts = pipeline_batch_step(
+                self.yolo_params, self.reid_params, self.reid_stats, states,
+                fdev, jnp.asarray(valid), self.class_lut,
+                ycfg=self.ycfg, hp=hp,
+                image_size=self.image_size, src_hw=(info["height"], info["width"]),
+                conf_thres=self.conf_thres, iou_thres=self.iou_thres,
+                max_det=self.max_det, dtype=self.dtype,
+                frames_letterboxed=thin,
+            )
+            mask = np.asarray(touts.mask)    # [B, C, K]
+            ids = np.asarray(touts.ids)
+            boxes = np.asarray(touts.boxes)
+            num_frames += int(valid.sum())
+            for b, c, k in zip(*np.nonzero(mask)):
+                rows["frames"].append(int(frame_ids[b]))
+                rows["tracks"].append(int(ids[b, c, k]))
+                rows["labels"].append(int(c))
+                rows["boxes"].append(boxes[b, c, k])
+
+        elapsed = time.perf_counter() - t_start
+        reader_fps = num_frames / elapsed if elapsed > 0 else 0.0
+
+        csv_path = os.path.join(self.saved_path, cam_name + ".csv")
+        counter.run(rows["frames"], rows["tracks"], rows["labels"],
+                    np.asarray(rows["boxes"]) if rows["boxes"] else np.zeros((0, 4)),
+                    output_path=csv_path)
+
+        counts = {}
+        import pandas as pd
+
+        df = pd.read_csv(csv_path)
+        if len(df):
+            counts = {k: v.tolist() for k, v in count_directions(df, self.num_classes).items()}
+
+        if visualize:
+            reader.reinitialize_stream()
+            writer = VideoWriter(info, os.path.join(self.saved_path, cam_name + ".mp4"))
+            visualize_merged(reader, csv_path, counter.directions, counter.polygons,
+                             self.num_classes, writer)
+            writer.release()
+        reader.release()
+        return {"csv": csv_path, "counts": counts, "fps": reader_fps, "frames": num_frames}
+
+    def run(self, visualize: bool = True) -> List[Dict]:
+        results = []
+        for video_path in self.all_video_paths:
+            try:
+                results.append(self.run_video(video_path, visualize=visualize))
+            except Exception as e:  # per-video isolation (SURVEY.md §5 failure handling)
+                print(f"[pipeline] ERROR on {video_path}: {e}")
+                results.append({"csv": None, "error": str(e), "video": video_path})
+        return results

@@ -1,0 +1,103 @@
+"""The fused per-batch device step: detect + track for B frames in ONE jit.
+
+Call stack equivalent in the reference (modules/__init__.py:54-84): per
+frame, detector forward -> per-class DeepSort updates — a Python loop with a
+GPU sync per stage. Here the whole batch is one XLA program:
+
+    letterbox -> YOLOv5 -> decode -> NMS -> restore -> class-map
+    -> lax.scan over frames [ crops -> ReID -> per-class tracker scan ]
+
+One host->device transfer (the frame batch) and one small readback (the
+[B, C, K] track outputs) per batch; everything else stays in HBM. This is
+what makes the tunnel/PCIe dispatch latency amortize: per-frame Python
+dispatch would cost more than the compute itself.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vehicle_counting_tpu.models.yolo import YoloConfig, decode_predictions, yolov5_forward
+from vehicle_counting_tpu.ops.letterbox import letterbox, restore_boxes
+from vehicle_counting_tpu.ops.nms import batched_nms
+from vehicle_counting_tpu.tracking.deepsort import DeepSortParams, deepsort_frame
+from vehicle_counting_tpu.tracking.tracker import TrackerOutputs
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "ycfg", "hp", "image_size", "src_hw",
+        "max_det", "dtype", "frames_letterboxed",
+    ),
+)
+def pipeline_batch_step(
+    yolo_params,
+    reid_params,
+    reid_stats,
+    states,
+    frames: jax.Array,       # [B, H, W, 3] uint8 RGB
+    frame_valid: jax.Array,  # [B] bool (tail padding of the last batch)
+    class_lut: jax.Array,    # [nc] i32: detector class -> tracked class (-1 drops)
+    *,
+    ycfg: YoloConfig,
+    hp: DeepSortParams,
+    image_size: Tuple[int, int],
+    src_hw: Tuple[int, int],
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    dtype=jnp.bfloat16,
+    frames_letterboxed: bool = False,
+):
+    """Returns (new_states, det dict [B, max_det], track TrackerOutputs [B, C, K]).
+
+    frames_letterboxed=True: `frames` are already host-letterboxed to
+    image_size (thin-upload path, ops/letterbox.py host_letterbox) — the
+    device only normalizes, and ReID crops are gathered from the letterboxed
+    frame via the (gain, pad) transform while all box coordinates stay in
+    source pixels.
+    """
+    from vehicle_counting_tpu.ops.letterbox import letterbox_params
+
+    if frames_letterboxed:
+        imgs = frames.astype(jnp.float32) / 255.0
+        gain, pad_x, pad_y, _, _ = letterbox_params(src_hw, image_size)
+        crop_kw = dict(
+            crop_gain=float(gain),
+            crop_pad=(float(pad_x), float(pad_y)),
+            out_hw=src_hw,
+        )
+    else:
+        imgs = letterbox(frames, image_size)
+        crop_kw = dict(out_hw=src_hw)
+    heads = yolov5_forward(yolo_params, imgs, ycfg, dtype=dtype)
+    dec = decode_predictions(heads, ycfg)
+    det = batched_nms(
+        dec["boxes"], dec["scores"], dec["classes"],
+        iou_threshold=iou_thres, score_threshold=conf_thres, max_det=max_det,
+    )
+    det["boxes"] = restore_boxes(det["boxes"], src_hw, image_size)
+
+    mapped = class_lut[jnp.clip(det["classes"], 0, class_lut.shape[0] - 1)]
+    det_valid = det["valid"] & (mapped >= 0) & frame_valid[:, None]
+    mapped = jnp.where(det_valid, mapped, -1)
+
+    def body(states_, inp):
+        frame, boxes, scores, classes, valid = inp
+        states_, out = deepsort_frame.__wrapped__(
+            states_, frame, boxes, scores, classes, valid,
+            reid_params, reid_stats, hp, **crop_kw,
+        )
+        return states_, out
+
+    new_states, track_outs = jax.lax.scan(
+        body, states, (frames, det["boxes"], det["scores"], mapped, det_valid)
+    )
+    det["classes"] = mapped
+    det["valid"] = det_valid
+    return new_states, det, track_outs

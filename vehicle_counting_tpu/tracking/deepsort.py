@@ -46,6 +46,10 @@ class DeepSortParams(NamedTuple):
     num_classes: int
     min_confidence: float = 0.25  # MIN_CONFIDENCE
     nms_max_overlap: float = 0.5  # NMS_MAX_OVERLAP
+    max_embed: int = 64           # ReID crops embedded per frame (valid dets
+                                  # are compacted first; overflow gets zero
+                                  # features — embedding all max_det NMS slots
+                                  # would waste ~5x the ReID FLOPs)
 
 
 def init_states(hp: DeepSortParams) -> TrackerState:
@@ -76,10 +80,10 @@ def _slot_by_class(boxes, scores, classes, valid, num_classes: int, k: int):
     return out  # boxes [C,K,4], scores [C,K], det_index [C,K], valid [C,K]
 
 
-@partial(jax.jit, static_argnames=("hp",))
+@partial(jax.jit, static_argnames=("hp", "crop_gain", "crop_pad", "out_hw"))
 def deepsort_frame(
     states: TrackerState,
-    frame: jax.Array,     # [H, W, 3] uint8 RGB (original resolution)
+    frame: jax.Array,     # [H, W, 3] uint8 RGB (crop source; see crop_gain)
     boxes: jax.Array,     # [N, 4] xyxy source pixels (from the detector)
     scores: jax.Array,    # [N]
     classes: jax.Array,   # [N] i32
@@ -87,14 +91,34 @@ def deepsort_frame(
     reid_params,
     reid_stats,
     hp: DeepSortParams,
+    crop_gain: float = 1.0,
+    crop_pad: Tuple[float, float] = (0.0, 0.0),
+    out_hw: Tuple[int, int] = None,
 ) -> Tuple[TrackerState, TrackerOutputs]:
-    """One frame through all per-class trackers. Outputs have a [C, K] layout."""
-    h, w, _ = frame.shape
-    k = hp.tracker.capacity
+    """One frame through all per-class trackers. Outputs have a [C, K] layout.
 
-    # one batched crop+embed pass for every detection in the frame
-    crops = gather_crops(frame, boxes, valid)
-    feats, _ = reid_forward(reid_params, reid_stats, crops, train=False, reid=True)
+    `boxes` and the tracker state are always in SOURCE pixel space; when the
+    crop-source `frame` is a letterboxed copy (thin-upload path), crop_gain/
+    crop_pad map boxes into it for the ReID crop gather, and `out_hw` gives
+    the source (height, width) used to clamp output boxes.
+    """
+    h, w, _ = frame.shape
+    if out_hw is not None:
+        h, w = out_hw
+    k = hp.tracker.capacity
+    n = boxes.shape[0]
+
+    # one batched crop+embed pass over the (compacted) valid detections only
+    m = min(hp.max_embed, n)
+    order = jnp.argsort(~valid, stable=True)  # valid dets first, index order
+    sel = order[:m]
+    crop_boxes = boxes[sel]
+    if crop_gain != 1.0 or crop_pad != (0.0, 0.0):
+        px, py = crop_pad
+        crop_boxes = crop_boxes * crop_gain + jnp.asarray([px, py, px, py], jnp.float32)
+    crops = gather_crops(frame, crop_boxes, valid[sel])
+    feats_c, _ = reid_forward(reid_params, reid_stats, crops, train=False, reid=True)
+    feats = jnp.zeros((n, feats_c.shape[1]), feats_c.dtype).at[sel].set(feats_c)
 
     cb, cs, cidx, cv = _slot_by_class(boxes, scores, classes, valid, hp.num_classes, k)
     cf = jnp.where(
