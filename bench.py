@@ -49,13 +49,13 @@ def main():
 
     from concurrent.futures import ThreadPoolExecutor
 
-    from vehicle_counting_tpu.ops.letterbox import host_letterbox
+    from vehicle_counting_tpu.ops.letterbox import host_letterbox_yuv420, yuv420_to_rgb
 
     rng = np.random.default_rng(0)
     # a couple of distinct host frame batches to avoid pathological caching;
     # thin-upload path: host-letterboxed 640x640 uint8 (what the pipeline ships)
     host_batches = [
-        host_letterbox(
+        host_letterbox_yuv420(
             rng.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8), (640, 640)
         )
         for _ in range(2)
@@ -68,16 +68,19 @@ def main():
     from vehicle_counting_tpu.models.yolo import decode_predictions, yolov5_forward
 
     fdev = jax.device_put(host_batches[0])
-    dec = decode_predictions(
-        yolov5_forward(yolo_params, fdev.astype(jnp.float32) / 255.0, ycfg), ycfg
-    )
+    rgb = yuv420_to_rgb(fdev)
+    dec = decode_predictions(yolov5_forward(yolo_params, rgb / 255.0, ycfg), ycfg)
     scores = np.asarray(dec["scores"][0])
-    conf_thres = float(np.quantile(scores, 1.0 - 30.0 / scores.size))
+    classes = np.asarray(dec["classes"][0])
+    mapped_mask = np.isin(classes, [0, 1, 2, 3, 5, 7])
+    pool_scores = scores[mapped_mask]
+    # ~30 dets/frame must survive the class mapping for a realistic track load
+    conf_thres = float(np.quantile(pool_scores, 1.0 - min(30.0 / max(pool_scores.size, 1), 1.0)))
 
     kw = dict(
         ycfg=ycfg, hp=hp, image_size=(640, 640), src_hw=(H, W),
         conf_thres=conf_thres, iou_thres=0.45, max_det=300, dtype=jnp.bfloat16,
-        frames_letterboxed=True,
+        frames_format="letterboxed_yuv420",
     )
 
     # warm up / compile

@@ -52,7 +52,7 @@ def synthetic_video(tmp_path):
 
 def fake_pipeline_batch_step(yolo_params, reid_params, reid_stats, states, frames,
                              frame_valid, class_lut, *, ycfg, hp, image_size, src_hw,
-                             conf_thres, iou_thres, max_det, dtype, frames_letterboxed=False):
+                             conf_thres, iou_thres, max_det, dtype, frames_format="raw_rgb"):
     """Bright-region 'detector' + the real jitted tracking stack."""
     f = np.asarray(frames)
     fv = np.asarray(frame_valid)
@@ -100,7 +100,7 @@ def test_pipeline_end_to_end(synthetic_video, tmp_path, monkeypatch):
     out_dir = str(tmp_path / "out")
     cfg = config_from_dict(default_config(), {
         "detect_batch": 8, "max_tracks_per_class": 16, "image_size": [160, 160],
-        "model_name": "yolov5n",
+        "model_name": "yolov5n", "thin_upload": False,
     })
     cam_cfg_dict = default_cam_config().to_dict()
     cam_cfg_dict["zone_path"] = zone_dir

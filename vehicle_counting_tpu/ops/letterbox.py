@@ -79,6 +79,46 @@ def host_letterbox(frames: "object", dst_hw: Tuple[int, int]):
     return out
 
 
+def host_letterbox_yuv420(frames, dst_hw: Tuple[int, int]):
+    """Letterbox + RGB->I420 on host: [B, dh*3/2, dw] uint8.
+
+    Video sources are 4:2:0 to begin with, so shipping planar YUV420 to the
+    device halves host->device bytes with no information the codec hadn't
+    already discarded. Reconstruct with `yuv420_to_rgb` on device.
+    """
+    import cv2
+    import numpy as np
+
+    lb = host_letterbox(frames, dst_hw)
+    b = lb.shape[0]
+    dh, dw = dst_hw
+    out = np.empty((b, dh * 3 // 2, dw), np.uint8)
+    for i in range(b):
+        out[i] = cv2.cvtColor(lb[i], cv2.COLOR_RGB2YUV_I420)
+    return out
+
+
+def yuv420_to_rgb(yuv: jax.Array) -> jax.Array:
+    """Device-side I420 -> RGB (float32, 0..255). yuv: [B, H*3/2, W] uint8.
+
+    BT.601 STUDIO swing (Y in [16, 235]), matching cv2.COLOR_RGB2YUV_I420 /
+    COLOR_YUV2RGB_I420.
+    """
+    b, h15, w = yuv.shape
+    h = h15 * 2 // 3
+    x = yuv.astype(jnp.float32)
+    y = (x[:, :h, :] - 16.0) * 1.163999557
+    u = x[:, h : h + h // 4, :].reshape(b, h // 2, w // 2)
+    v = x[:, h + h // 4 :, :].reshape(b, h // 2, w // 2)
+    # nearest 2x chroma upsample
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2) - 128.0
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2) - 128.0
+    r = y + 1.596026612 * v
+    g = y - 0.391762290 * u - 0.812967647 * v
+    bl = y + 2.017232143 * u
+    return jnp.clip(jnp.stack([r, g, bl], axis=-1), 0.0, 255.0)
+
+
 def restore_boxes(
     boxes: jax.Array, src_hw: Tuple[int, int], dst_hw: Tuple[int, int]
 ) -> jax.Array:

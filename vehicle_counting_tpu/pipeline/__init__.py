@@ -31,6 +31,8 @@ def enable_compilation_cache(path: str = "~/.cache/vct_jax_cache") -> None:
     import jax
 
     try:
+        # per-backend dir: CPU AOT artifacts are machine-feature specific
+        path = f"{path}_{jax.default_backend()}"
         jax.config.update("jax_compilation_cache_dir", os.path.expanduser(path))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
@@ -62,12 +64,19 @@ class CountingPipeline:
         # ---- detector ------------------------------------------------------
         weight = getattr(args, "weight", None)
         variant = self.config.model_name or "yolov5s"
+        if not weight:
+            # reference behavior: download the COCO v6.0 checkpoint when no
+            # --weight is given (networks/yolo.py:14-17)
+            from vehicle_counting_tpu.utils.download import get_model_weights
+
+            weight = get_model_weights(variant)
         if weight:
             from vehicle_counting_tpu.models.convert import load_yolov5_weights
 
             self.yolo_params = load_yolov5_weights(weight)
             nc = self.yolo_params["24"]["m"][0]["b"].shape[0] // 3 - 5
         else:
+            print("[pipeline] no weights available; using random-init detector")
             nc = 80
             self.yolo_params = init_yolov5(jax.random.PRNGKey(0), YoloConfig(variant=variant, num_classes=nc))
         self.ycfg = YoloConfig(variant=variant, num_classes=nc)
@@ -171,11 +180,11 @@ class CountingPipeline:
         thin = self.config.thin_upload
         thin = True if thin is None else bool(thin)
 
-        from vehicle_counting_tpu.ops.letterbox import host_letterbox
+        from vehicle_counting_tpu.ops.letterbox import host_letterbox_yuv420
 
         for frames, frame_ids, valid in reader.batches():
             if thin:
-                frames = host_letterbox(frames, self.image_size)
+                frames = host_letterbox_yuv420(frames, self.image_size)
             fdev = jax.device_put(frames)
             states, det, touts = pipeline_batch_step(
                 self.yolo_params, self.reid_params, self.reid_stats, states,
@@ -184,7 +193,7 @@ class CountingPipeline:
                 image_size=self.image_size, src_hw=(info["height"], info["width"]),
                 conf_thres=self.conf_thres, iou_thres=self.iou_thres,
                 max_det=self.max_det, dtype=self.dtype,
-                frames_letterboxed=thin,
+                frames_format="letterboxed_yuv420" if thin else "raw_rgb",
             )
             mask = np.asarray(touts.mask)    # [B, C, K]
             ids = np.asarray(touts.ids)

@@ -32,7 +32,7 @@ from vehicle_counting_tpu.tracking.tracker import TrackerOutputs
     jax.jit,
     static_argnames=(
         "ycfg", "hp", "image_size", "src_hw",
-        "max_det", "dtype", "frames_letterboxed",
+        "max_det", "dtype", "frames_format",
     ),
 )
 def pipeline_batch_step(
@@ -52,29 +52,39 @@ def pipeline_batch_step(
     iou_thres: float = 0.45,
     max_det: int = 300,
     dtype=jnp.bfloat16,
-    frames_letterboxed: bool = False,
+    frames_format: str = "raw_rgb",
 ):
     """Returns (new_states, det dict [B, max_det], track TrackerOutputs [B, C, K]).
 
-    frames_letterboxed=True: `frames` are already host-letterboxed to
-    image_size (thin-upload path, ops/letterbox.py host_letterbox) — the
-    device only normalizes, and ReID crops are gathered from the letterboxed
-    frame via the (gain, pad) transform while all box coordinates stay in
-    source pixels.
+    frames_format selects the upload encoding (ops/letterbox.py thin-upload
+    helpers); box coordinates stay in source pixels in every mode:
+      raw_rgb           - [B, H, W, 3] full-res uint8; letterbox on device.
+      letterboxed_rgb   - [B, dh, dw, 3] host-letterboxed uint8 (~2.2x less
+                          transfer at 720p); ReID crops come from the
+                          letterboxed frame via the (gain, pad) transform.
+      letterboxed_yuv420- [B, dh*3/2, dw] host-letterboxed planar I420
+                          (another 2x less; video sources are 4:2:0 anyway).
     """
-    from vehicle_counting_tpu.ops.letterbox import letterbox_params
+    from vehicle_counting_tpu.ops.letterbox import letterbox_params, yuv420_to_rgb
 
-    if frames_letterboxed:
-        imgs = frames.astype(jnp.float32) / 255.0
+    if frames_format == "raw_rgb":
+        imgs = letterbox(frames, image_size)
+        crop_source = frames
+        crop_kw = dict(out_hw=src_hw)
+    else:
+        if frames_format == "letterboxed_yuv420":
+            crop_source = yuv420_to_rgb(frames)  # [B, dh, dw, 3] f32 0..255
+        elif frames_format == "letterboxed_rgb":
+            crop_source = frames
+        else:
+            raise ValueError(f"unknown frames_format: {frames_format}")
+        imgs = crop_source.astype(jnp.float32) / 255.0
         gain, pad_x, pad_y, _, _ = letterbox_params(src_hw, image_size)
         crop_kw = dict(
             crop_gain=float(gain),
             crop_pad=(float(pad_x), float(pad_y)),
             out_hw=src_hw,
         )
-    else:
-        imgs = letterbox(frames, image_size)
-        crop_kw = dict(out_hw=src_hw)
     heads = yolov5_forward(yolo_params, imgs, ycfg, dtype=dtype)
     dec = decode_predictions(heads, ycfg)
     det = batched_nms(
@@ -96,7 +106,7 @@ def pipeline_batch_step(
         return states_, out
 
     new_states, track_outs = jax.lax.scan(
-        body, states, (frames, det["boxes"], det["scores"], mapped, det_valid)
+        body, states, (crop_source, det["boxes"], det["scores"], mapped, det_valid)
     )
     det["classes"] = mapped
     det["valid"] = det_valid
