@@ -31,7 +31,7 @@ def main():
     from vehicle_counting_tpu.pipeline.step import pipeline_batch_step
     from vehicle_counting_tpu.tracking import DeepSortParams, TrackerParams, init_states
 
-    B = int(os.environ.get("BENCH_BATCH", "16"))
+    B = int(os.environ.get("BENCH_BATCH", "32"))
     H, W = 720, 1280
     N_BATCHES = int(os.environ.get("BENCH_BATCHES", "20"))
 

@@ -55,8 +55,10 @@ def gather_crops(
     """
     h, w, _ = frame.shape
     oh, ow = out_size
-    img = frame.astype(jnp.float32) / 255.0
-    img = (img - _MEAN) / _STD
+    # keep the gather in the frame's native (usually uint8) dtype — 4x less
+    # HBM gather traffic than normalizing the whole frame to f32 first;
+    # normalization happens on the tiny [D, oh, ow, 3] result instead
+    img = frame
 
     x1, y1, x2, y2 = crop_boxes_to_bounds(boxes_xyxy, h, w)
     cw = jnp.maximum(x2 - x1, 1).astype(jnp.float32)  # crop spans [x1, x2)
@@ -83,13 +85,15 @@ def gather_crops(
     x1c = jnp.clip(x0 + 1, 0, w - 1)
 
     def sample_one(y0c_, y1c_, fy_, x0c_, x1c_, fx_):
-        # rows [oh, W, 3] then cols [oh, ow, 3]
-        r0 = img[y0c_]  # [oh, W, 3]
-        r1 = img[y1c_]
-        row = r0 * (1 - fy_)[:, None, None] + r1 * fy_[:, None, None]
-        c0 = row[:, x0c_]  # [oh, ow, 3]
-        c1 = row[:, x1c_]
-        return c0 * (1 - fx_)[None, :, None] + c1 * fx_[None, :, None]
+        # row gather in native dtype [oh, W, 3]; cast AFTER slicing columns
+        r0 = img[y0c_][:, x0c_].astype(jnp.float32)  # [oh, ow, 3]
+        r0b = img[y0c_][:, x1c_].astype(jnp.float32)
+        r1 = img[y1c_][:, x0c_].astype(jnp.float32)
+        r1b = img[y1c_][:, x1c_].astype(jnp.float32)
+        top = r0 * (1 - fx_)[None, :, None] + r0b * fx_[None, :, None]
+        bot = r1 * (1 - fx_)[None, :, None] + r1b * fx_[None, :, None]
+        return top * (1 - fy_)[:, None, None] + bot * fy_[:, None, None]
 
     crops = jax.vmap(sample_one)(y0c, y1c, fy, x0c, x1c, fx)  # [D, oh, ow, 3]
+    crops = (crops / 255.0 - _MEAN) / _STD
     return jnp.where(valid[:, None, None, None], crops, 0.0)

@@ -73,12 +73,15 @@ def pipeline_batch_step(
         crop_kw = dict(out_hw=src_hw)
     else:
         if frames_format == "letterboxed_yuv420":
-            crop_source = yuv420_to_rgb(frames)  # [B, dh, dw, 3] f32 0..255
+            rgb = yuv420_to_rgb(frames)  # [B, dh, dw, 3] f32 0..255
+            imgs = rgb / 255.0
+            # uint8 crop source: 4x less gather traffic in the ReID crop op
+            crop_source = rgb.astype(jnp.uint8)
         elif frames_format == "letterboxed_rgb":
             crop_source = frames
+            imgs = frames.astype(jnp.float32) / 255.0
         else:
             raise ValueError(f"unknown frames_format: {frames_format}")
-        imgs = crop_source.astype(jnp.float32) / 255.0
         gain, pad_x, pad_y, _, _ = letterbox_params(src_hw, image_size)
         crop_kw = dict(
             crop_gain=float(gain),
