@@ -84,14 +84,20 @@ def gather_crops(
     x0c = jnp.clip(x0, 0, w - 1)
     x1c = jnp.clip(x0 + 1, 0, w - 1)
 
+    # NOTE on alternatives: expressing the bilinear resize as two MXU matmuls
+    # (separable interpolation with one-hot weight matrices) was measured
+    # SLOWER on v5e than row gathers at these sizes (~3ms vs ~1.2ms device
+    # time for 64 crops) — the [D*oh, H] x [H, W*3] batched matmul tiles
+    # poorly at M=50. Row gathers in uint8 keep traffic low.
     def sample_one(y0c_, y1c_, fy_, x0c_, x1c_, fx_):
-        # row gather in native dtype [oh, W, 3]; cast AFTER slicing columns
-        r0 = img[y0c_][:, x0c_].astype(jnp.float32)  # [oh, ow, 3]
-        r0b = img[y0c_][:, x1c_].astype(jnp.float32)
-        r1 = img[y1c_][:, x0c_].astype(jnp.float32)
-        r1b = img[y1c_][:, x1c_].astype(jnp.float32)
-        top = r0 * (1 - fx_)[None, :, None] + r0b * fx_[None, :, None]
-        bot = r1 * (1 - fx_)[None, :, None] + r1b * fx_[None, :, None]
+        r0 = img[y0c_]  # [oh, W, 3] native-dtype row gather
+        r1 = img[y1c_]
+        r00 = r0[:, x0c_].astype(jnp.float32)  # [oh, ow, 3]
+        r01 = r0[:, x1c_].astype(jnp.float32)
+        r10 = r1[:, x0c_].astype(jnp.float32)
+        r11 = r1[:, x1c_].astype(jnp.float32)
+        top = r00 * (1 - fx_)[None, :, None] + r01 * fx_[None, :, None]
+        bot = r10 * (1 - fx_)[None, :, None] + r11 * fx_[None, :, None]
         return top * (1 - fy_)[:, None, None] + bot * fy_[:, None, None]
 
     crops = jax.vmap(sample_one)(y0c, y1c, fy, x0c, x1c, fx)  # [D, oh, ow, 3]
