@@ -1,0 +1,136 @@
+"""Concurrent multi-camera counting over a device mesh.
+
+The reference processes a directory of videos strictly one-by-one
+(modules/__init__.py:29). TPU-native scale-out (SURVEY.md §5): all cameras
+step TOGETHER — one device batch per round carries `batch` frames from EVERY
+camera, sharded over the mesh 'cam' axis via parallel/cameras.py, so N chips
+process N cameras' pipelines concurrently with zero collectives. Host keeps
+one reader/accumulator per camera; cameras that run out of frames ride along
+with valid=False until the longest video finishes.
+
+Constraint: cameras in one group share frame geometry and DeepSORT
+hyper-parameters (one compiled program). Mixed fleets split into groups.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class MultiCamCountingPipeline:
+    """Camera-concurrent variant of CountingPipeline (same artifacts)."""
+
+    def __init__(self, args, config=None, cam_config=None, mesh=None):
+        from vehicle_counting_tpu.pipeline import CountingPipeline
+
+        # reuse all of CountingPipeline's construction (detector, reid, maps)
+        self.base = CountingPipeline(args, config, cam_config)
+        self.mesh = mesh
+
+    def run(self, visualize: bool = False) -> List[Dict]:
+        import jax
+        import jax.numpy as jnp
+
+        from vehicle_counting_tpu.counting import VehicleCounter, count_directions
+        from vehicle_counting_tpu.data import VideoReader, VideoWriter
+        from vehicle_counting_tpu.parallel.cameras import multicam_batch_step
+        from vehicle_counting_tpu.parallel.mesh import make_mesh
+
+        base = self.base
+        paths = base.all_video_paths
+        n_cam = len(paths)
+        if n_cam == 0:
+            return []
+        mesh = self.mesh or make_mesh(None, axis_names=("cam",))
+        n_dev = mesh.devices.size
+        # pad camera count to a multiple of the mesh size
+        pad_cams = (-n_cam) % n_dev
+
+        readers = [VideoReader(p, batch_size=base.batch_size) for p in paths]
+        infos = [r.video_info for r in readers]
+        h, w = infos[0]["height"], infos[0]["width"]
+        for info in infos:
+            if (info["height"], info["width"]) != (h, w):
+                raise ValueError("multicam group requires equal frame geometry")
+
+        cam_names = [base.get_cam_name(p) for p in paths]
+        hp = base._cam_params(cam_names[0])  # shared hyper-params per group
+        one = base._init_states(hp)
+        total = n_cam + pad_cams
+        states = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (total,) + x.shape).copy(), one
+        )
+
+        counters = [
+            VehicleCounter(base.class_names, os.path.join(base.zone_path, c + ".json"))
+            for c in cam_names
+        ]
+        rows = [
+            {"frames": [], "tracks": [], "labels": [], "boxes": []} for _ in range(n_cam)
+        ]
+        iters = [r.batches() for r in readers]
+        done = [False] * n_cam
+        b = base.batch_size
+
+        while not all(done):
+            frames = np.zeros((total, b, h, w, 3), np.uint8)
+            ids = np.zeros((total, b), np.int64)
+            valid = np.zeros((total, b), bool)
+            for i, it in enumerate(iters):
+                if done[i]:
+                    continue
+                try:
+                    f, fid, v = next(it)
+                    frames[i], ids[i], valid[i] = f, fid, v
+                except StopIteration:
+                    done[i] = True
+            if not valid.any():
+                break
+
+            states, touts = multicam_batch_step(
+                mesh, base.yolo_params, base.reid_params, base.reid_stats,
+                states, jnp.asarray(frames), jnp.asarray(valid), base.class_lut,
+                ycfg=base.ycfg, hp=hp, image_size=base.image_size, src_hw=(h, w),
+                conf_thres=base.conf_thres, iou_thres=base.iou_thres,
+                max_det=base.max_det, dtype=base.dtype,
+            )
+            mask = np.asarray(touts.mask)   # [total, B, C, K]
+            tids = np.asarray(touts.ids)
+            boxes = np.asarray(touts.boxes)
+            for i in range(n_cam):
+                for bb, c, k in zip(*np.nonzero(mask[i])):
+                    rows[i]["frames"].append(int(ids[i, bb]))
+                    rows[i]["tracks"].append(int(tids[i, bb, c, k]))
+                    rows[i]["labels"].append(int(c))
+                    rows[i]["boxes"].append(boxes[i, bb, c, k])
+
+        results = []
+        import pandas as pd
+
+        for i, cam in enumerate(cam_names):
+            csv_path = os.path.join(base.saved_path, cam + ".csv")
+            counters[i].run(
+                rows[i]["frames"], rows[i]["tracks"], rows[i]["labels"],
+                np.asarray(rows[i]["boxes"]) if rows[i]["boxes"] else np.zeros((0, 4)),
+                output_path=csv_path,
+            )
+            df = pd.read_csv(csv_path)
+            counts = (
+                {k: v.tolist() for k, v in count_directions(df, base.num_classes).items()}
+                if len(df)
+                else {}
+            )
+            if visualize:
+                from vehicle_counting_tpu.counting.visualize import visualize_merged
+
+                readers[i].reinitialize_stream()
+                writer = VideoWriter(infos[i], os.path.join(base.saved_path, cam + ".mp4"))
+                visualize_merged(readers[i], csv_path, counters[i].directions,
+                                 counters[i].polygons, base.num_classes, writer)
+                writer.release()
+            readers[i].release()
+            results.append({"csv": csv_path, "counts": counts, "camera": cam})
+        return results
