@@ -42,10 +42,6 @@ def main():
     reid_stats = jax.device_put(reid_stats)
     hp = DeepSortParams(tracker=TrackerParams(capacity=64), num_classes=4)
     states = init_states(hp)
-    lut = np.full((80,), -1, np.int32)
-    for s, d in {0: 0, 1: 0, 2: 1, 3: 0, 5: 2, 7: 3}.items():
-        lut[s] = d
-    lut = jnp.asarray(lut)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -72,10 +68,20 @@ def main():
     dec = decode_predictions(yolov5_forward(yolo_params, rgb / 255.0, ycfg), ycfg)
     scores = np.asarray(dec["scores"][0])
     classes = np.asarray(dec["classes"][0])
-    mapped_mask = np.isin(classes, [0, 1, 2, 3, 5, 7])
-    pool_scores = scores[mapped_mask]
-    # ~30 dets/frame must survive the class mapping for a realistic track load
-    conf_thres = float(np.quantile(pool_scores, 1.0 - min(30.0 / max(pool_scores.size, 1), 1.0)))
+    # Random-init weights concentrate argmax on a few classes; map the 4
+    # dominant ones into the tracker so the association load is realistic
+    # (~30 tracked dets/frame). This measures compute, not COCO semantics —
+    # with real weights the standard COCO->vehicle mapping applies.
+    import collections
+
+    top4 = [c for c, _ in collections.Counter(classes.tolist()).most_common(4)]
+    lut = np.full((80,), -1, np.int32)
+    for d, src in enumerate(top4):
+        lut[src] = d
+    lut = jnp.asarray(lut)
+    pool = scores[np.isin(classes, top4)]
+    pool = np.sort(pool)[-512:]  # must survive the pre-NMS top-k
+    conf_thres = float(pool[-min(30, pool.size)])
 
     kw = dict(
         ycfg=ycfg, hp=hp, image_size=(640, 640), src_hw=(H, W),

@@ -13,7 +13,7 @@ frame (utils.py:306-328). A frame counter is stamped top-left.
 from __future__ import annotations
 
 import ast
-from typing import Dict, Sequence
+from typing import Dict
 
 import cv2
 import numpy as np

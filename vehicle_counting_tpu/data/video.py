@@ -15,7 +15,7 @@ with a validity mask, ready for one `jax.device_put` per batch.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 import cv2
 import numpy as np

@@ -10,7 +10,7 @@ threshold, 101-point interpolated AP.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 

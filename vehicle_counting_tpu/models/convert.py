@@ -21,8 +21,6 @@ from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
-from vehicle_counting_tpu.models.yolo import YoloConfig
-
 BN_EPS_DEFAULT = 1e-3  # ultralytics BatchNorm2d eps
 
 

@@ -21,8 +21,7 @@ Structure of the params pytree mirrors the canonical module indexing
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax

@@ -12,7 +12,6 @@ selects).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -15,7 +15,7 @@ hyper-parameters (one compiled program). Mixed fleets split into groups.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

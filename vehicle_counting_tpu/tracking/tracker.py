@@ -130,11 +130,12 @@ def _match_stage(cost, rows, det_free, track_col, threshold, row_order, det_key,
 
     Besides matches, maintains `det_key`: the reference's unmatched-detections
     list order (linear_assignment.py:69-76 appends matched-but-rejected
-    detections to the END, in row order = ascending track id, and
+    detections to the END in ascending Hungarian row order, and
     tracker.py:77-79 initiates new tracks in that list order). Rejected
-    detections get key = stage_base * K + rank(track_id among rejectors),
-    which sorts them behind every not-yet-rejected detection while preserving
-    the within-stage row order.
+    detections get key = stage_base * K + (rejection rank in compacted row
+    order), which sorts them behind every not-yet-rejected detection while
+    preserving the within-stage ordering. Rows/cols are compacted so the
+    solver sees them in the reference's exact orders (scipy tie-breaking).
     """
     k = cost.shape[0]
     imax = jnp.iinfo(jnp.int32).max
