@@ -24,7 +24,11 @@ import jax.numpy as jnp
 from vehicle_counting_tpu.models.yolo import YoloConfig, decode_predictions, yolov5_forward
 from vehicle_counting_tpu.ops.letterbox import letterbox, restore_boxes
 from vehicle_counting_tpu.ops.nms import batched_nms
-from vehicle_counting_tpu.tracking.deepsort import DeepSortParams, deepsort_frame
+from vehicle_counting_tpu.tracking.deepsort import (
+    DeepSortParams,
+    deepsort_frame_core,
+    embed_detections,
+)
 from vehicle_counting_tpu.tracking.tracker import TrackerOutputs
 
 
@@ -100,16 +104,28 @@ def pipeline_batch_step(
     det_valid = det["valid"] & (mapped >= 0) & frame_valid[:, None]
     mapped = jnp.where(det_valid, mapped, -1)
 
+    # ONE ReID pass for the whole batch: the embedding CNN runs on all
+    # B x max_embed crops together (MXU-efficient) instead of B small
+    # forwards inside the sequential per-frame scan.
+    out_hw = crop_kw.pop("out_hw")
+    embed = partial(
+        embed_detections,
+        reid_params=reid_params,
+        reid_stats=reid_stats,
+        hp=hp,
+        **crop_kw,
+    )
+    feats = jax.vmap(embed)(crop_source, det["boxes"], det_valid)  # [B, N, F]
+
     def body(states_, inp):
-        frame, boxes, scores, classes, valid = inp
-        states_, out = deepsort_frame.__wrapped__(
-            states_, frame, boxes, scores, classes, valid,
-            reid_params, reid_stats, hp, **crop_kw,
+        f, boxes, scores, classes, valid = inp
+        states_, out = deepsort_frame_core(
+            states_, f, boxes, scores, classes, valid, hp, out_hw
         )
         return states_, out
 
     new_states, track_outs = jax.lax.scan(
-        body, states, (crop_source, det["boxes"], det["scores"], mapped, det_valid)
+        body, states, (feats, det["boxes"], det["scores"], mapped, det_valid)
     )
     det["classes"] = mapped
     det["valid"] = det_valid

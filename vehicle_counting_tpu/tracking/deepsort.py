@@ -80,35 +80,22 @@ def _slot_by_class(boxes, scores, classes, valid, num_classes: int, k: int):
     return out  # boxes [C,K,4], scores [C,K], det_index [C,K], valid [C,K]
 
 
-@partial(jax.jit, static_argnames=("hp", "crop_gain", "crop_pad", "out_hw"))
-def deepsort_frame(
-    states: TrackerState,
-    frame: jax.Array,     # [H, W, 3] uint8 RGB (crop source; see crop_gain)
-    boxes: jax.Array,     # [N, 4] xyxy source pixels (from the detector)
-    scores: jax.Array,    # [N]
-    classes: jax.Array,   # [N] i32
-    valid: jax.Array,     # [N] bool
+def embed_detections(
+    frame: jax.Array,
+    boxes: jax.Array,
+    valid: jax.Array,
     reid_params,
     reid_stats,
     hp: DeepSortParams,
     crop_gain: float = 1.0,
     crop_pad: Tuple[float, float] = (0.0, 0.0),
-    out_hw: Tuple[int, int] = None,
-) -> Tuple[TrackerState, TrackerOutputs]:
-    """One frame through all per-class trackers. Outputs have a [C, K] layout.
+) -> jax.Array:
+    """Compacted crop + ReID embed for one frame's detections: [N, F].
 
-    `boxes` and the tracker state are always in SOURCE pixel space; when the
-    crop-source `frame` is a letterboxed copy (thin-upload path), crop_gain/
-    crop_pad map boxes into it for the ReID crop gather, and `out_hw` gives
-    the source (height, width) used to clamp output boxes.
+    Only the first max_embed valid detections get features (zeros beyond);
+    crop_gain/crop_pad map source-pixel boxes into a letterboxed crop frame.
     """
-    h, w, _ = frame.shape
-    if out_hw is not None:
-        h, w = out_hw
-    k = hp.tracker.capacity
     n = boxes.shape[0]
-
-    # one batched crop+embed pass over the (compacted) valid detections only
     m = min(hp.max_embed, n)
     order = jnp.argsort(~valid, stable=True)  # valid dets first, index order
     sel = order[:m]
@@ -118,7 +105,27 @@ def deepsort_frame(
         crop_boxes = crop_boxes * crop_gain + jnp.asarray([px, py, px, py], jnp.float32)
     crops = gather_crops(frame, crop_boxes, valid[sel])
     feats_c, _ = reid_forward(reid_params, reid_stats, crops, train=False, reid=True)
-    feats = jnp.zeros((n, feats_c.shape[1]), feats_c.dtype).at[sel].set(feats_c)
+    return jnp.zeros((n, feats_c.shape[1]), feats_c.dtype).at[sel].set(feats_c)
+
+
+def deepsort_frame_core(
+    states: TrackerState,
+    feats: jax.Array,     # [N, F] per-detection embeddings (zeros if absent)
+    boxes: jax.Array,     # [N, 4] xyxy source pixels
+    scores: jax.Array,    # [N]
+    classes: jax.Array,   # [N] i32
+    valid: jax.Array,     # [N] bool
+    hp: DeepSortParams,
+    out_hw: Tuple[int, int],
+) -> Tuple[TrackerState, TrackerOutputs]:
+    """Association + lifecycle for one frame, features precomputed.
+
+    Split out so callers (pipeline/step.py) can batch the ReID embedding of
+    MANY frames' crops into a single MXU pass instead of one small forward
+    per frame inside the sequential scan.
+    """
+    h, w = out_hw
+    k = hp.tracker.capacity
 
     cb, cs, cidx, cv = _slot_by_class(boxes, scores, classes, valid, hp.num_classes, k)
     cf = jnp.where(
@@ -151,3 +158,36 @@ def deepsort_frame(
         scan_body, None, (states, ct, cs, cf, cv, present)
     )
     return new_states, outputs
+
+
+@partial(jax.jit, static_argnames=("hp", "crop_gain", "crop_pad", "out_hw"))
+def deepsort_frame(
+    states: TrackerState,
+    frame: jax.Array,     # [H, W, 3] uint8 RGB (crop source; see crop_gain)
+    boxes: jax.Array,     # [N, 4] xyxy source pixels (from the detector)
+    scores: jax.Array,    # [N]
+    classes: jax.Array,   # [N] i32
+    valid: jax.Array,     # [N] bool
+    reid_params,
+    reid_stats,
+    hp: DeepSortParams,
+    crop_gain: float = 1.0,
+    crop_pad: Tuple[float, float] = (0.0, 0.0),
+    out_hw: Tuple[int, int] = None,
+) -> Tuple[TrackerState, TrackerOutputs]:
+    """One frame through all per-class trackers (crop+embed included).
+
+    `boxes` and the tracker state are always in SOURCE pixel space; when the
+    crop-source `frame` is a letterboxed copy (thin-upload path), crop_gain/
+    crop_pad map boxes into it for the ReID crop gather, and `out_hw` gives
+    the source (height, width) used to clamp output boxes. Batch callers
+    should embed with `embed_detections` over many frames at once and call
+    `deepsort_frame_core` instead.
+    """
+    if out_hw is None:
+        out_hw = (frame.shape[0], frame.shape[1])
+    feats = embed_detections(
+        frame, boxes, valid, reid_params, reid_stats, hp,
+        crop_gain=crop_gain, crop_pad=crop_pad,
+    )
+    return deepsort_frame_core(states, feats, boxes, scores, classes, valid, hp, out_hw)

@@ -249,17 +249,27 @@ def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height):
     # _match_stage). stage_base starts at 1 so any demotion sorts last.
     det_key0 = jnp.arange(k, dtype=jnp.int32)
 
-    def level_body(carry, level):
-        det_free_, track_col_, det_key_ = carry
+    # early exit: level L matches tracks with tsu == 1 + L, so only
+    # max(tsu of confirmed tracks) levels can ever have rows — usually 1.
+    needed_levels = jnp.minimum(
+        jnp.max(jnp.where(confirmed, tsu, 0)), hp.max_age
+    )
+
+    def level_cond(carry):
+        level, det_free_, _, _ = carry
+        return (level < needed_levels) & jnp.any(det_free_)
+
+    def level_body(carry):
+        level, det_free_, track_col_, det_key_ = carry
         rows = confirmed & (tsu == 1 + level)
-        carry = _match_stage(
+        det_free_, track_col_, det_key_ = _match_stage(
             gated, rows, det_free_, track_col_, hp.max_dist,
             st.track_id, det_key_, 1 + level,
         )
-        return carry, None
+        return level + 1, det_free_, track_col_, det_key_
 
-    (det_free, track_col, det_key), _ = jax.lax.scan(
-        level_body, (det_free0, track_col0, det_key0), jnp.arange(hp.max_age)
+    _, det_free, track_col, det_key = jax.lax.while_loop(
+        level_cond, level_body, (jnp.int32(0), det_free0, track_col0, det_key0)
     )
 
     # ---- IoU stage (tracker.py:117-127) -------------------------------------
