@@ -136,7 +136,10 @@ def sort_nms(tlwhs, scores, max_overlap):
             if (w * h) / area[j] <= max_overlap:
                 keep.append(j)
         idxs = keep
-    return sorted(pick)
+    # NOTE: the reference returns picks in PROCESSING order (descending
+    # score), and the detection list downstream keeps that order — it feeds
+    # Hungarian column order and new-track id assignment.
+    return pick
 
 
 class OracleDeepSort:

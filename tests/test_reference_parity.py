@@ -1,0 +1,158 @@
+"""Ultimate parity check: run the ACTUAL reference DeepSORT as the oracle.
+
+The reference repo is mounted read-only at /root/reference and its tracking
+subtree (networks/deepsort) is pure torch/numpy/scipy — runnable on CPU with
+no weights if the ReID Extractor is stubbed to return our synthetic
+features. These tests feed byte-identical detection streams to the
+reference `DeepSort.update` and to this framework's tracker and require
+identical track ids and boxes. Skipped when the reference isn't mounted.
+
+(No reference code is copied; it is imported from its mount.)
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "networks", "deepsort")),
+    reason="reference repo not mounted",
+)
+
+FRAME_HW = (480, 640)
+FEAT_DIM = 32
+
+
+def _load_reference_deepsort(params):
+    """Import the reference DeepSort with a stubbed feature extractor.
+
+    Parent packages are stubbed so `networks/__init__.py` (which pulls in
+    albumentations etc.) never executes — only the deepsort subtree loads.
+    """
+    import types
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # the reference uses deprecated np.float / np.int; restore for the import
+    if not hasattr(np, "float"):
+        np.float = float  # noqa: NPY001
+    if not hasattr(np, "int"):
+        np.int = int  # noqa: NPY001
+    for name, path in [
+        ("networks", os.path.join(REF, "networks")),
+        ("networks.deepsort", os.path.join(REF, "networks", "deepsort")),
+    ]:
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+    # torchvision isn't installed and isn't needed (Extractor gets stubbed);
+    # satisfy the reference's import with a shim
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tvt.Compose = lambda *a, **k: (lambda x: x)
+        tvt.ToTensor = lambda *a, **k: (lambda x: x)
+        tvt.Normalize = lambda *a, **k: (lambda x: x)
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+    import networks.deepsort.deep_sort as ref_ds
+
+    class StubExtractor:
+        def __init__(self, *a, **k):
+            self.features = None
+
+        def __call__(self, im_crops):
+            return self.features[: len(im_crops)]
+
+    orig = ref_ds.Extractor
+    ref_ds.Extractor = StubExtractor
+    try:
+        ds = ref_ds.DeepSort(
+            model_path=None,
+            max_dist=params.max_dist,
+            min_confidence=0.25,
+            nms_max_overlap=0.5,
+            max_iou_distance=params.max_iou_distance,
+            max_age=params.max_age,
+            n_init=params.n_init,
+            nn_budget=params.budget,
+            use_cuda=False,
+        )
+    finally:
+        ref_ds.Extractor = orig
+    return ds
+
+
+def _ref_update(ds, boxes_xyxy, confs, feats):
+    ds.extractor.features = feats
+    frame = np.zeros((FRAME_HW[0], FRAME_HW[1], 3), np.uint8)
+    out = ds.update(boxes_xyxy.copy(), confs.copy(), frame)
+    rows = []
+    for r in np.atleast_2d(np.asarray(out, dtype=object)) if len(out) else []:
+        rows.append((int(r[4]), int(r[0]), int(r[1]), int(r[2]), int(r[3])))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_tracker_matches_actual_reference(seed):
+    from vehicle_counting_tpu.tracking import TrackerParams, init_state, tracker_step
+    from vehicle_counting_tpu.ops.boxes import xyxy_to_tlwh
+    from vehicle_counting_tpu.ops.nms import sort_nms_mask
+
+    hp = TrackerParams(
+        capacity=16, feat_dim=FEAT_DIM, budget=10, pending_cap=8,
+        max_dist=0.25, max_iou_distance=0.6, max_age=8, n_init=3,
+    )
+    ref = _load_reference_deepsort(hp)
+    state = init_state(hp)
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_tracker_parity import Scenario, MIN_CONF, NMS_OVERLAP
+
+    rng = np.random.default_rng(seed)
+    scen = Scenario(rng, num_objects=4, frames=30)
+    # Scenario uses HP.feat_dim=32 from test_tracker_parity — matches FEAT_DIM
+
+    for t in range(30):
+        boxes, confs, feats = scen.frame(t, dropout=0.25)
+        if len(boxes) == 0:
+            continue
+        want = _ref_update(ref, boxes, confs, feats)
+
+        k = hp.capacity
+        b = np.zeros((k, 4), np.float32)
+        s = np.zeros((k,), np.float32)
+        f = np.zeros((k, FEAT_DIM), np.float32)
+        v = np.zeros((k,), bool)
+        m = min(len(boxes), k)
+        b[:m], s[:m], f[:m], v[:m] = boxes[:m], confs[:m], feats[:m], True
+
+        tlwh = xyxy_to_tlwh(jnp.asarray(b))
+        present = jnp.asarray(v).any()
+        valid = jnp.asarray(v) & (jnp.asarray(s) > MIN_CONF)
+        keep = sort_nms_mask(tlwh, jnp.asarray(s), valid, NMS_OVERLAP)
+        from test_tracker_parity import pick_order_rank
+        det_order = pick_order_rank(jnp.asarray(s), valid & keep)
+        state, out = tracker_step(
+            state, tlwh, jnp.asarray(s), jnp.asarray(f), valid & keep, hp,
+            jnp.int32(FRAME_HW[1]), jnp.int32(FRAME_HW[0]), present=present,
+            det_order=det_order,
+        )
+        got = sorted(
+            (int(np.asarray(out.ids)[i]),) + tuple(int(x) for x in np.asarray(out.boxes)[i])
+            for i in np.where(np.asarray(out.mask))[0]
+        )
+        assert [g[0] for g in got] == [w[0] for w in want], (
+            f"seed {seed} frame {t}: ids {got} vs reference {want}"
+        )
+        for g, w in zip(got, want):
+            assert max(abs(a - c) for a, c in zip(g[1:], w[1:])) <= 1, (
+                f"seed {seed} frame {t}: box {g} vs reference {w}"
+            )

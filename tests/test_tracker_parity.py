@@ -18,6 +18,15 @@ from vehicle_counting_tpu.tracking import TrackerParams, init_state, tracker_ste
 
 from oracle_deepsort import OracleDeepSort
 
+
+def pick_order_rank(s, valid):
+    """Rank of each det in the reference's NMS pick order (desc score,
+    ties -> higher index); the detection-list order downstream."""
+    n = s.shape[0]
+    sc = jnp.where(valid, s, -jnp.inf)
+    order = (n - 1) - jnp.argsort(-sc[::-1], stable=True)
+    return jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
 K = 16
 HP = TrackerParams(
     capacity=K,
@@ -52,9 +61,11 @@ def jax_step(state, boxes_xyxy, confs, feats):
     valid = jnp.asarray(v) & (jnp.asarray(s) > MIN_CONF)
     keep = sort_nms_mask(tlwh, jnp.asarray(s), valid, NMS_OVERLAP)
     valid = valid & keep
+    det_order = pick_order_rank(jnp.asarray(s), valid)
     state, out = tracker_step(
         state, tlwh, jnp.asarray(s), jnp.asarray(f), valid, HP,
         jnp.int32(FRAME_HW[1]), jnp.int32(FRAME_HW[0]), present=present,
+        det_order=det_order,
     )
     mask = np.asarray(out.mask)
     rows = []

@@ -144,18 +144,30 @@ def deepsort_frame_core(
     keep = jax.vmap(lambda t, s, v: sort_nms_mask(t, s, v, hp.nms_max_overlap))(ct, cs, cv)
     cv = cv & keep
 
+    # the reference's NMS returns picks in PROCESSING order (descending
+    # score, ties -> higher index; preprocessing.py:54-56) and the detection
+    # LIST keeps that order — it drives Hungarian column order and new-track
+    # id order. det_order = each detection's rank in that list.
+    def pick_rank(s, v):
+        n = s.shape[0]
+        sc = jnp.where(v, s, -jnp.inf)
+        order = (n - 1) - jnp.argsort(-sc[::-1], stable=True)
+        return jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+    corder = jax.vmap(pick_rank)(cs, cv)  # [C, K]
+
     width = jnp.int32(w)
     height = jnp.int32(h)
 
     def scan_body(_, xs):
-        st, t, s, f, v, pres = xs
+        st, t, s, f, v, pres, ordr = xs
         st_new, out = tracker_step(
-            st, t, s, f, v, hp.tracker, width, height, present=pres
+            st, t, s, f, v, hp.tracker, width, height, present=pres, det_order=ordr
         )
         return None, (st_new, out)
 
     _, (new_states, outputs) = jax.lax.scan(
-        scan_body, None, (states, ct, cs, cf, cv, present)
+        scan_body, None, (states, ct, cs, cf, cv, present, corder)
     )
     return new_states, outputs
 

@@ -191,6 +191,7 @@ def tracker_step(
     width,
     height,
     present=None,
+    det_order=None,
 ) -> Tuple[TrackerState, TrackerOutputs]:
     """One frame for one class. Detection capacity equals track capacity K.
 
@@ -200,10 +201,17 @@ def tracker_step(
     exist but all fall below MIN_CONFIDENCE, the tracker still advances with
     an empty detection set (deep_sort.py:31,41-42). Defaults to
     any(det_valid) for callers that pre-filter.
+
+    `det_order` [K] i32: each detection's position in the reference's
+    detection LIST — the SORT-NMS pick order, i.e. descending score with
+    ties to the higher index (preprocessing.py:54-56). It drives Hungarian
+    column order and new-track id assignment. Defaults to slot order.
     """
     k = hp.capacity
     if present is None:
         present = jnp.any(det_valid)
+    if det_order is None:
+        det_order = jnp.arange(k, dtype=jnp.int32)
 
     def no_dets(st_):
         empty = TrackerOutputs(
@@ -215,12 +223,14 @@ def tracker_step(
         return st_, empty
 
     def run(st_):
-        return _tracker_step_impl(st_, tlwh, conf, feat, det_valid, hp, width, height)
+        return _tracker_step_impl(
+            st_, tlwh, conf, feat, det_valid, hp, width, height, det_order
+        )
 
     return jax.lax.cond(present, run, no_dets, st)
 
 
-def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height):
+def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height, det_order):
     k = hp.capacity
     active = st.state > EMPTY
 
@@ -245,9 +255,10 @@ def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height):
     # ---- matching cascade over age levels ----------------------------------
     det_free0 = det_valid
     track_col0 = jnp.full((k,), -1, jnp.int32)
-    # init-order key: original detection index; rejections demote (see
-    # _match_stage). stage_base starts at 1 so any demotion sorts last.
-    det_key0 = jnp.arange(k, dtype=jnp.int32)
+    # init-order key: the detection's position in the (NMS pick-ordered)
+    # detection list; rejections demote (see _match_stage). stage_base
+    # starts at 1 so any demotion sorts last.
+    det_key0 = det_order
 
     # early exit: level L matches tracks with tsu == 1 + L, so only
     # max(tsu of confirmed tracks) levels can ever have rows — usually 1.
