@@ -24,6 +24,7 @@ parser.add_argument("--mapping", default=None, help="'coco' -> COCO->vehicle cla
 parser.add_argument("--config", type=str, default=None, help="path to configs.yaml override")
 parser.add_argument("--cam_config", type=str, default=None, help="path to cam_configs.yaml override")
 parser.add_argument("--no_visualize", action="store_true", help="skip the annotated-MP4 second pass")
+parser.add_argument("--detect_only", action="store_true", help="detection-only pass: per-frame detections CSV, no tracking")
 
 
 def main(args, config, cam_config):
@@ -34,6 +35,11 @@ def main(args, config, cam_config):
 
     print(config)
     pipeline = CountingPipeline(args, config, cam_config)
+    if args.detect_only:
+        results = [pipeline.run_video_detect_only(p) for p in pipeline.all_video_paths]
+        for r in results:
+            print(f"{r['csv']}: {r['frames']} frames @ {r['fps']:.1f} fps")
+        return results
     results = pipeline.run(visualize=not args.no_visualize)
     for r in results:
         if r.get("csv"):

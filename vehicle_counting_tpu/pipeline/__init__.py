@@ -229,6 +229,64 @@ class CountingPipeline:
         reader.release()
         return {"csv": csv_path, "counts": counts, "fps": reader_fps, "frames": num_frames}
 
+    def run_video_detect_only(self, video_path: str) -> Dict:
+        """Detection-only pass (BASELINE config 1): per-frame detections CSV.
+
+        Columns: frame_id, x1, y1, x2, y2, score, label — one row per
+        detection in source pixels.
+        """
+        import time
+
+        import jax
+        import jax.numpy as jnp
+        import pandas as pd
+
+        from vehicle_counting_tpu.models.detector import detect_step
+        from vehicle_counting_tpu.ops.letterbox import host_letterbox_yuv420, yuv420_to_rgb
+
+        cam_name = self.get_cam_name(video_path)
+        reader = VideoReader(video_path, batch_size=self.batch_size)
+        info = reader.video_info
+        rows = {k: [] for k in ("frame_id", "x1", "y1", "x2", "y2", "score", "label")}
+        lut = np.asarray(self.class_lut)
+        num_frames = 0
+        t0 = time.perf_counter()
+        for frames, frame_ids, valid in reader.batches():
+            yuv = host_letterbox_yuv420(frames, self.image_size)
+            imgs = yuv420_to_rgb(jax.device_put(jnp.asarray(yuv)))
+            out = detect_step(
+                self.yolo_params, imgs.astype(jnp.uint8),
+                cfg=self.ycfg, image_size=self.image_size,
+                src_hw=(info["height"], info["width"]),
+                conf_thres=self.conf_thres, iou_thres=self.iou_thres,
+                max_det=self.max_det, dtype=self.dtype,
+            )
+            boxes = np.asarray(out["boxes"])
+            scores = np.asarray(out["scores"])
+            classes = np.asarray(out["classes"])
+            ok = np.asarray(out["valid"])
+            num_frames += int(valid.sum())
+            for b in range(len(frames)):
+                if not valid[b]:
+                    continue
+                for i in np.where(ok[b])[0]:
+                    mapped = lut[classes[b, i]] if classes[b, i] < len(lut) else -1
+                    if mapped < 0:
+                        continue
+                    rows["frame_id"].append(int(frame_ids[b]))
+                    rows["x1"].append(float(boxes[b, i, 0]))
+                    rows["y1"].append(float(boxes[b, i, 1]))
+                    rows["x2"].append(float(boxes[b, i, 2]))
+                    rows["y2"].append(float(boxes[b, i, 3]))
+                    rows["score"].append(float(scores[b, i]))
+                    rows["label"].append(int(mapped))
+        elapsed = time.perf_counter() - t0
+        csv_path = os.path.join(self.saved_path, cam_name + "_detections.csv")
+        pd.DataFrame(rows).to_csv(csv_path, index=False)
+        reader.release()
+        return {"csv": csv_path, "frames": num_frames,
+                "fps": num_frames / elapsed if elapsed > 0 else 0.0}
+
     def run(self, visualize: bool = True) -> List[Dict]:
         results = []
         for video_path in self.all_video_paths:
