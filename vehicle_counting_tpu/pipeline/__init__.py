@@ -180,21 +180,25 @@ class CountingPipeline:
         thin = self.config.thin_upload
         thin = True if thin is None else bool(thin)
 
+        from concurrent.futures import ThreadPoolExecutor
+
         from vehicle_counting_tpu.ops.letterbox import host_letterbox_yuv420
 
-        for frames, frame_ids, valid in reader.batches():
+        def produce(it):
+            """Decode + letterbox + upload the next batch (runs in the worker
+            thread so the whole host side overlaps device compute)."""
+            batch = next(it, None)
+            if batch is None:
+                return None
+            frames, frame_ids, valid = batch
             if thin:
                 frames = host_letterbox_yuv420(frames, self.image_size)
-            fdev = jax.device_put(frames)
-            states, det, touts = pipeline_batch_step(
-                self.yolo_params, self.reid_params, self.reid_stats, states,
-                fdev, jnp.asarray(valid), self.class_lut,
-                ycfg=self.ycfg, hp=hp,
-                image_size=self.image_size, src_hw=(info["height"], info["width"]),
-                conf_thres=self.conf_thres, iou_thres=self.iou_thres,
-                max_det=self.max_det, dtype=self.dtype,
-                frames_format="letterboxed_yuv420" if thin else "raw_rgb",
-            )
+            return jax.device_put(frames), frame_ids, valid
+
+        def drain(pending):
+            """Read back one batch's (small) track outputs into rows."""
+            nonlocal num_frames
+            touts, frame_ids, valid = pending
             mask = np.asarray(touts.mask)    # [B, C, K]
             ids = np.asarray(touts.ids)
             boxes = np.asarray(touts.boxes)
@@ -204,6 +208,37 @@ class CountingPipeline:
                 rows["tracks"].append(int(ids[b, c, k]))
                 rows["labels"].append(int(c))
                 rows["boxes"].append(boxes[b, c, k])
+
+        # prefetch pipeline: host letterbox + upload run one batch ahead in a
+        # thread; readback lags one batch — decode/prep/transfer/compute/
+        # readback all overlap instead of serializing per batch.
+        pool = ThreadPoolExecutor(max_workers=1)
+        it = reader.batches()
+        pending = None
+        try:
+            fut = pool.submit(produce, it)
+            while True:
+                produced = fut.result()
+                if produced is None:
+                    break
+                fdev, frame_ids, valid = produced
+                fut = pool.submit(produce, it)
+                states, det, touts = pipeline_batch_step(
+                    self.yolo_params, self.reid_params, self.reid_stats, states,
+                    fdev, jnp.asarray(valid), self.class_lut,
+                    ycfg=self.ycfg, hp=hp,
+                    image_size=self.image_size, src_hw=(info["height"], info["width"]),
+                    conf_thres=self.conf_thres, iou_thres=self.iou_thres,
+                    max_det=self.max_det, dtype=self.dtype,
+                    frames_format="letterboxed_yuv420" if thin else "raw_rgb",
+                )
+                if pending is not None:
+                    drain(pending)
+                pending = (touts, frame_ids, valid)
+            if pending is not None:
+                drain(pending)
+        finally:
+            pool.shutdown()
 
         elapsed = time.perf_counter() - t_start
         reader_fps = num_frames / elapsed if elapsed > 0 else 0.0
