@@ -58,58 +58,71 @@ def main():
     ]
     valid = jnp.ones((B,), bool)
 
-    # calibrate a confidence threshold that admits ~30 detections/frame so the
-    # tracker does realistic association work with the random-init weights
-    # (fixed seed -> deterministic)
-    from vehicle_counting_tpu.models.yolo import decode_predictions, yolov5_forward
-
-    fdev = jax.device_put(host_batches[0])
-    rgb = yuv420_to_rgb(fdev)
-    dec = decode_predictions(yolov5_forward(yolo_params, rgb / 255.0, ycfg), ycfg)
-    scores = np.asarray(dec["scores"][0])
-    classes = np.asarray(dec["classes"][0])
-    # Random-init weights concentrate argmax on a few classes; map the 4
-    # dominant ones into the tracker so the association load is realistic
-    # (~30 tracked dets/frame). This measures compute, not COCO semantics —
-    # with real weights the standard COCO->vehicle mapping applies.
+    # Calibrate a confidence threshold that admits ~30 tracked detections /
+    # frame so the tracker does realistic association work with random-init
+    # weights (fixed seed -> deterministic). Calibration reuses the SAME
+    # compiled pipeline graph (thresholds and the class lut are traced): one
+    # XLA program total, which matters on backends without a persistent
+    # compile cache.
     import collections
 
-    top4 = [c for c, _ in collections.Counter(classes.tolist()).most_common(4)]
+    def make_kw(conf):
+        return dict(
+            ycfg=ycfg, hp=hp, image_size=(640, 640), src_hw=(H, W),
+            conf_thres=conf, iou_thres=0.45, max_det=300, dtype=jnp.bfloat16,
+            frames_format="letterboxed_yuv420",
+        )
+
+    fdev = jax.device_put(host_batches[0])
+    lut_id = jnp.arange(80, dtype=jnp.int32)  # identity for calibration
+    states0, det, _ = pipeline_batch_step(
+        yolo_params, reid_params, reid_stats, states, fdev, valid, lut_id,
+        **make_kw(0.0),
+    )
+    scores = np.asarray(det["scores"][0])
+    classes = np.asarray(det["classes"][0])
+    ok = np.asarray(det["valid"][0])
+    # random-init argmax concentrates on a few classes; track the 4 dominant
+    # ones (this measures compute load, not COCO semantics)
+    top4 = [c for c, _ in collections.Counter(classes[ok].tolist()).most_common(4)]
     lut = np.full((80,), -1, np.int32)
     for d, src in enumerate(top4):
         lut[src] = d
     lut = jnp.asarray(lut)
-    pool = scores[np.isin(classes, top4)]
-    pool = np.sort(pool)[-512:]  # must survive the pre-NMS top-k
-    conf_thres = float(pool[-min(30, pool.size)])
+    pool_scores = np.sort(scores[ok & np.isin(classes, top4)])
+    conf_thres = float(pool_scores[-min(30, pool_scores.size)])
+    kw = make_kw(conf_thres)
 
-    kw = dict(
-        ycfg=ycfg, hp=hp, image_size=(640, 640), src_hw=(H, W),
-        conf_thres=conf_thres, iou_thres=0.45, max_det=300, dtype=jnp.bfloat16,
-        frames_format="letterboxed_yuv420",
-    )
-
-    # warm up / compile
+    # warm up with the measurement lut/threshold (same compiled graph)
     states, det, touts = pipeline_batch_step(
         yolo_params, reid_params, reid_stats, states, fdev, valid, lut, **kw
     )
     np.asarray(touts.mask)
 
-    # steady state: background-thread uploads overlap device compute
-    pool = ThreadPoolExecutor(max_workers=1)
-    t0 = time.perf_counter()
-    pending = None
-    fut = pool.submit(jax.device_put, host_batches[0])
-    for i in range(N_BATCHES):
-        fdev = fut.result()
-        fut = pool.submit(jax.device_put, host_batches[(i + 1) % 2])
-        states, det, touts = pipeline_batch_step(
-            yolo_params, reid_params, reid_stats, states, fdev, valid, lut, **kw
-        )
-        pending = touts
-    np.asarray(pending.mask)  # final sync
-    elapsed = time.perf_counter() - t0
-    pool.shutdown()
+    # steady state: background-thread uploads overlap device compute.
+    # The dev tunnel's transfer bandwidth fluctuates 2-4x between runs, so
+    # measure 3 windows and report the median.
+    def window(states, n_batches):
+        pool = ThreadPoolExecutor(max_workers=1)
+        t0 = time.perf_counter()
+        pending = None
+        fut = pool.submit(jax.device_put, host_batches[0])
+        for i in range(n_batches):
+            fdev = fut.result()
+            fut = pool.submit(jax.device_put, host_batches[(i + 1) % 2])
+            states, det, touts = pipeline_batch_step(
+                yolo_params, reid_params, reid_stats, states, fdev, valid, lut, **kw
+            )
+            pending = touts
+        np.asarray(pending.mask)  # final sync
+        pool.shutdown()
+        return states, time.perf_counter() - t0
+
+    times = []
+    for _ in range(3):
+        states, dt = window(states, N_BATCHES)
+        times.append(dt)
+    elapsed = sorted(times)[1]  # median window
 
     fps = B * N_BATCHES / elapsed
     baseline_per_chip = 500.0 / 8.0  # north-star 500 fps on v5e-8
