@@ -161,7 +161,9 @@ def deepsort_frame_core(
 
     def scan_body(_, xs):
         st, t, s, f, v, pres, ordr = xs
-        st_new, out = tracker_step(
+        # __wrapped__: avoid a nested pjit inside the scan body (leaner
+        # lowering; the enclosing program is already jitted)
+        st_new, out = tracker_step.__wrapped__(
             st, t, s, f, v, hp.tracker, width, height, present=pres, det_order=ordr
         )
         return None, (st_new, out)
