@@ -31,7 +31,10 @@ def enable_compilation_cache(path: str = "~/.cache/vct_jax_cache") -> None:
     import jax
 
     try:
-        # per-backend dir: CPU AOT artifacts are machine-feature specific
+        if jax.default_backend() != "tpu":
+            # CPU AOT artifacts are machine-feature specific; caching them
+            # across heterogeneous hosts just produces reload warnings
+            return
         path = f"{path}_{jax.default_backend()}"
         jax.config.update("jax_compilation_cache_dir", os.path.expanduser(path))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

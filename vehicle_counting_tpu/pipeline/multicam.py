@@ -75,7 +75,10 @@ class MultiCamCountingPipeline:
         done = [False] * n_cam
         b = base.batch_size
 
-        while not all(done):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def produce():
+            """Decode all cameras' next batches (worker thread overlaps compute)."""
             frames = np.zeros((total, b, h, w, 3), np.uint8)
             ids = np.zeros((total, b), np.int64)
             valid = np.zeros((total, b), bool)
@@ -88,15 +91,11 @@ class MultiCamCountingPipeline:
                 except StopIteration:
                     done[i] = True
             if not valid.any():
-                break
+                return None
+            return jax.device_put(frames), ids, valid
 
-            states, touts = multicam_batch_step(
-                mesh, base.yolo_params, base.reid_params, base.reid_stats,
-                states, jnp.asarray(frames), jnp.asarray(valid), base.class_lut,
-                ycfg=base.ycfg, hp=hp, image_size=base.image_size, src_hw=(h, w),
-                conf_thres=base.conf_thres, iou_thres=base.iou_thres,
-                max_det=base.max_det, dtype=base.dtype,
-            )
+        def drain(pending):
+            touts, ids = pending
             mask = np.asarray(touts.mask)   # [total, B, C, K]
             tids = np.asarray(touts.ids)
             boxes = np.asarray(touts.boxes)
@@ -106,6 +105,31 @@ class MultiCamCountingPipeline:
                     rows[i]["tracks"].append(int(tids[i, bb, c, k]))
                     rows[i]["labels"].append(int(c))
                     rows[i]["boxes"].append(boxes[i, bb, c, k])
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = None
+        try:
+            fut = pool.submit(produce)
+            while True:
+                produced = fut.result()
+                if produced is None:
+                    break
+                fdev, ids, valid = produced
+                fut = pool.submit(produce)
+                states, touts = multicam_batch_step(
+                    mesh, base.yolo_params, base.reid_params, base.reid_stats,
+                    states, fdev, jnp.asarray(valid), base.class_lut,
+                    ycfg=base.ycfg, hp=hp, image_size=base.image_size, src_hw=(h, w),
+                    conf_thres=base.conf_thres, iou_thres=base.iou_thres,
+                    max_det=base.max_det, dtype=base.dtype,
+                )
+                if pending is not None:
+                    drain(pending)
+                pending = (touts, ids)
+            if pending is not None:
+                drain(pending)
+        finally:
+            pool.shutdown()
 
         results = []
         import pandas as pd
