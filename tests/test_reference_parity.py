@@ -156,3 +156,62 @@ def test_tracker_matches_actual_reference(seed):
             assert max(abs(a - c) for a, c in zip(g[1:], w[1:])) <= 1, (
                 f"seed {seed} frame {t}: box {g} vs reference {w}"
             )
+
+
+@pytest.mark.parametrize("feat_noise", [0.02, 0.3])
+def test_crossing_objects_match_reference(feat_noise):
+    """Two objects crossing paths with near-identical appearance: the
+    Mahalanobis gate and IoU stage decide — a classic id-swap trap."""
+    from vehicle_counting_tpu.tracking import TrackerParams, init_state, tracker_step
+    from vehicle_counting_tpu.ops.boxes import xyxy_to_tlwh
+    from vehicle_counting_tpu.ops.nms import sort_nms_mask
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_tracker_parity import MIN_CONF, NMS_OVERLAP, pick_order_rank
+    import jax.numpy as jnp
+
+    hp = TrackerParams(
+        capacity=16, feat_dim=FEAT_DIM, budget=10, pending_cap=8,
+        max_dist=0.25, max_iou_distance=0.6, max_age=8, n_init=2,
+    )
+    ref = _load_reference_deepsort(hp)
+    state = init_state(hp)
+    rng = np.random.default_rng(11)
+    base_feat = rng.normal(size=FEAT_DIM)
+    base_feat /= np.linalg.norm(base_feat)
+
+    for t in range(25):
+        # object A moves right, object B moves left; they cross near t=12
+        ax, bx = 50 + t * 18, 500 - t * 18
+        boxes = np.array(
+            [[ax, 200, ax + 60, 260], [bx, 205, bx + 60, 265]], np.float32
+        )
+        confs = np.array([0.8, 0.75], np.float32)
+        feats = np.stack([
+            base_feat + rng.normal(0, feat_noise, FEAT_DIM),
+            base_feat + rng.normal(0, feat_noise, FEAT_DIM),
+        ]).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+
+        want = _ref_update(ref, boxes, confs, feats)
+
+        k = hp.capacity
+        b = np.zeros((k, 4), np.float32)
+        s = np.zeros((k,), np.float32)
+        f = np.zeros((k, FEAT_DIM), np.float32)
+        v = np.zeros((k,), bool)
+        b[:2], s[:2], f[:2], v[:2] = boxes, confs, feats, True
+        tlwh = xyxy_to_tlwh(jnp.asarray(b))
+        valid = jnp.asarray(v) & (jnp.asarray(s) > MIN_CONF)
+        keep = sort_nms_mask(tlwh, jnp.asarray(s), valid, NMS_OVERLAP)
+        det_order = pick_order_rank(jnp.asarray(s), valid & keep)
+        state, out = tracker_step(
+            state, tlwh, jnp.asarray(s), jnp.asarray(f), valid & keep, hp,
+            jnp.int32(FRAME_HW[1]), jnp.int32(FRAME_HW[0]),
+            present=jnp.asarray(v).any(), det_order=det_order,
+        )
+        got = sorted(
+            (int(np.asarray(out.ids)[i]),) + tuple(int(x) for x in np.asarray(out.boxes)[i])
+            for i in np.where(np.asarray(out.mask))[0]
+        )
+        assert got == want, f"noise {feat_noise} frame {t}: {got} vs {want}"
