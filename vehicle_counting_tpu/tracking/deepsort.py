@@ -14,8 +14,10 @@ TPU-native differences:
     empty classes really skip (reference quirk: a class with no detections
     this frame does not advance its tracker, modules/track.py:55-59).
 
-The whole thing is one jitted function `deepsort_frame`; the pipeline scans
-it over batches of frames.
+Entry points: `deepsort_frame` (single frame, crop+embed included) for
+direct use, or `embed_detections` + `deepsort_frame_core` for batch callers
+(pipeline/step.py embeds every frame's crops in one MXU pass, then scans the
+core over frames).
 """
 
 from __future__ import annotations
