@@ -41,25 +41,9 @@ def crop_boxes_to_bounds(boxes_xyxy: jax.Array, height: int, width: int):
     return x1, y1, x2, y2
 
 
-@partial(jax.jit, static_argnames=("out_size",))
-def gather_crops(
-    frame: jax.Array,
-    boxes_xyxy: jax.Array,
-    valid: jax.Array,
-    out_size: Tuple[int, int] = (CROP_SIZE, CROP_SIZE),
-) -> jax.Array:
-    """Sample normalized [D, oh, ow, 3] crops from one frame.
-
-    frame: [H, W, 3] uint8/float RGB (0..255). boxes: [D, 4] xyxy floats.
-    Invalid rows produce all-zero crops.
-    """
-    h, w, _ = frame.shape
+def _bilinear_coords(boxes_xyxy, h: int, w: int, out_size: Tuple[int, int]):
+    """Per-crop cv2-bilinear sample coordinates: (y0c, y1c, fy, x0c, x1c, fx)."""
     oh, ow = out_size
-    # keep the gather in the frame's native (usually uint8) dtype — 4x less
-    # HBM gather traffic than normalizing the whole frame to f32 first;
-    # normalization happens on the tiny [D, oh, ow, 3] result instead
-    img = frame
-
     x1, y1, x2, y2 = crop_boxes_to_bounds(boxes_xyxy, h, w)
     cw = jnp.maximum(x2 - x1, 1).astype(jnp.float32)  # crop spans [x1, x2)
     ch = jnp.maximum(y2 - y1, 1).astype(jnp.float32)
@@ -83,6 +67,33 @@ def gather_crops(
     y1c = jnp.clip(y0 + 1, 0, h - 1)
     x0c = jnp.clip(x0, 0, w - 1)
     x1c = jnp.clip(x0 + 1, 0, w - 1)
+    return y0c, y1c, fy, x0c, x1c, fx
+
+
+def _mix_bilinear(r00, r01, r10, r11, fy_, fx_):
+    top = r00 * (1 - fx_)[None, :, None] + r01 * fx_[None, :, None]
+    bot = r10 * (1 - fx_)[None, :, None] + r11 * fx_[None, :, None]
+    return top * (1 - fy_)[:, None, None] + bot * fy_[:, None, None]
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def gather_crops(
+    frame: jax.Array,
+    boxes_xyxy: jax.Array,
+    valid: jax.Array,
+    out_size: Tuple[int, int] = (CROP_SIZE, CROP_SIZE),
+) -> jax.Array:
+    """Sample normalized [D, oh, ow, 3] crops from one frame.
+
+    frame: [H, W, 3] uint8/float RGB (0..255). boxes: [D, 4] xyxy floats.
+    Invalid rows produce all-zero crops.
+    """
+    h, w, _ = frame.shape
+    # keep the gather in the frame's native (usually uint8) dtype — 4x less
+    # HBM gather traffic than normalizing the whole frame to f32 first;
+    # normalization happens on the tiny [D, oh, ow, 3] result instead
+    img = frame
+    y0c, y1c, fy, x0c, x1c, fx = _bilinear_coords(boxes_xyxy, h, w, out_size)
 
     # NOTE on alternatives: expressing the bilinear resize as two MXU matmuls
     # (separable interpolation with one-hot weight matrices) was measured
@@ -96,10 +107,40 @@ def gather_crops(
         r01 = r0[:, x1c_].astype(jnp.float32)
         r10 = r1[:, x0c_].astype(jnp.float32)
         r11 = r1[:, x1c_].astype(jnp.float32)
-        top = r00 * (1 - fx_)[None, :, None] + r01 * fx_[None, :, None]
-        bot = r10 * (1 - fx_)[None, :, None] + r11 * fx_[None, :, None]
-        return top * (1 - fy_)[:, None, None] + bot * fy_[:, None, None]
+        return _mix_bilinear(r00, r01, r10, r11, fy_, fx_)
 
     crops = jax.vmap(sample_one)(y0c, y1c, fy, x0c, x1c, fx)  # [D, oh, ow, 3]
+    crops = (crops / 255.0 - _MEAN) / _STD
+    return jnp.where(valid[:, None, None, None], crops, 0.0)
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def gather_crops_batch(
+    frames: jax.Array,
+    frame_idx: jax.Array,
+    boxes_xyxy: jax.Array,
+    valid: jax.Array,
+    out_size: Tuple[int, int] = (CROP_SIZE, CROP_SIZE),
+) -> jax.Array:
+    """Sample normalized [D, oh, ow, 3] crops, each from its own frame.
+
+    frames: [B, H, W, 3] uint8/float RGB (0..255); frame_idx: [D] i32 source
+    frame per crop. Same cv2-bilinear semantics as `gather_crops` — used by
+    the batch-global chunked ReID embed so crops from MANY frames share one
+    CNN forward regardless of how detections distribute across frames.
+    """
+    _, h, w, _ = frames.shape
+    y0c, y1c, fy, x0c, x1c, fx = _bilinear_coords(boxes_xyxy, h, w, out_size)
+
+    def sample_one(fi, y0c_, y1c_, fy_, x0c_, x1c_, fx_):
+        r0 = frames[fi, y0c_]  # [oh, W, 3] native-dtype row gather
+        r1 = frames[fi, y1c_]
+        r00 = r0[:, x0c_].astype(jnp.float32)  # [oh, ow, 3]
+        r01 = r0[:, x1c_].astype(jnp.float32)
+        r10 = r1[:, x0c_].astype(jnp.float32)
+        r11 = r1[:, x1c_].astype(jnp.float32)
+        return _mix_bilinear(r00, r01, r10, r11, fy_, fx_)
+
+    crops = jax.vmap(sample_one)(frame_idx, y0c, y1c, fy, x0c, x1c, fx)
     crops = (crops / 255.0 - _MEAN) / _STD
     return jnp.where(valid[:, None, None, None], crops, 0.0)

@@ -27,7 +27,7 @@ from vehicle_counting_tpu.ops.nms import batched_nms
 from vehicle_counting_tpu.tracking.deepsort import (
     DeepSortParams,
     deepsort_frame_core,
-    embed_detections,
+    embed_detections_batch,
 )
 from vehicle_counting_tpu.tracking.tracker import TrackerOutputs
 
@@ -104,18 +104,15 @@ def pipeline_batch_step(
     det_valid = det["valid"] & (mapped >= 0) & frame_valid[:, None]
     mapped = jnp.where(det_valid, mapped, -1)
 
-    # ONE ReID pass for the whole batch: the embedding CNN runs on all
-    # B x max_embed crops together (MXU-efficient) instead of B small
-    # forwards inside the sequential per-frame scan.
+    # Batch-global ReID: all B frames' valid detections share one compacted
+    # chunk stream (ceil(total_valid / max_embed) CNN forwards), so every
+    # valid crop is embedded — reference semantics (deep_sort.py:119-129) —
+    # while crowded frames borrow batch slots from quiet ones.
     out_hw = crop_kw.pop("out_hw")
-    embed = partial(
-        embed_detections,
-        reid_params=reid_params,
-        reid_stats=reid_stats,
-        hp=hp,
-        **crop_kw,
-    )
-    feats = jax.vmap(embed)(crop_source, det["boxes"], det_valid)  # [B, N, F]
+    feats = embed_detections_batch(
+        crop_source, det["boxes"], det_valid,
+        reid_params, reid_stats, hp, **crop_kw,
+    )  # [B, N, F]
 
     def body(states_, inp):
         f, boxes, scores, classes, valid = inp

@@ -28,9 +28,9 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from vehicle_counting_tpu.models.reid import reid_forward
+from vehicle_counting_tpu.models.reid import EMBED_DIM, reid_forward
 from vehicle_counting_tpu.ops.boxes import xyxy_to_tlwh
-from vehicle_counting_tpu.ops.crops import gather_crops
+from vehicle_counting_tpu.ops.crops import gather_crops, gather_crops_batch
 from vehicle_counting_tpu.ops.nms import sort_nms_mask
 from vehicle_counting_tpu.tracking.tracker import (
     TrackerOutputs,
@@ -48,10 +48,14 @@ class DeepSortParams(NamedTuple):
     num_classes: int
     min_confidence: float = 0.25  # MIN_CONFIDENCE
     nms_max_overlap: float = 0.5  # NMS_MAX_OVERLAP
-    max_embed: int = 64           # ReID crops embedded per frame (valid dets
-                                  # are compacted first; overflow gets zero
-                                  # features — embedding all max_det NMS slots
-                                  # would waste ~5x the ReID FLOPs)
+    max_embed: int = 64           # ReID crops per CNN forward (chunk size).
+                                  # ALL valid detections are embedded, like
+                                  # the reference (deep_sort.py:119-129):
+                                  # valid dets compact to the front, then a
+                                  # lax.scan runs the CNN chunk by chunk and
+                                  # lax.cond skips fully-empty chunks, so
+                                  # cost tracks the actual detection load
+                                  # instead of the max_det padding.
 
 
 def init_states(hp: DeepSortParams) -> TrackerState:
@@ -82,6 +86,59 @@ def _slot_by_class(boxes, scores, classes, valid, num_classes: int, k: int):
     return out  # boxes [C,K,4], scores [C,K], det_index [C,K], valid [C,K]
 
 
+def _crop_transform(boxes, crop_gain, crop_pad):
+    if crop_gain != 1.0 or crop_pad != (0.0, 0.0):
+        px, py = crop_pad
+        return boxes * crop_gain + jnp.asarray([px, py, px, py], jnp.float32)
+    return boxes
+
+
+def _embed_compacted_chunks(gather_chunk, embed_chunk, valid_flat, chunk: int):
+    """Shared chunked-embed core over a flat detection axis.
+
+    valid detections compact to the front (stable order); a lax.scan runs
+    ceil(n/chunk) ReID forwards of `chunk` crops each, and lax.cond skips
+    chunks with no valid crop — so with d valid detections the CNN cost is
+    ceil(d/chunk) forwards, whatever the padded capacity. Returns [n, F]
+    features (zeros for invalid / out-of-capacity slots — there are none of
+    the latter: every valid det lands in some chunk).
+
+    gather_chunk(sel, v) -> [chunk, 50, 50, 3] normalized crops for flat
+    detection indices `sel` (indices == n mean padding).
+    """
+    n = valid_flat.shape[0]
+    c = min(chunk, n)
+    num_chunks = -(-n // c)
+    order = jnp.argsort(~valid_flat, stable=True).astype(jnp.int32)
+    pad = num_chunks * c - n
+    if pad:
+        order = jnp.concatenate([order, jnp.full((pad,), n, jnp.int32)])
+    valid_p = jnp.concatenate([valid_flat, jnp.zeros((1,), bool)])
+    sel_chunks = order.reshape(num_chunks, c)
+
+    def body(_, sel):
+        v = valid_p[sel]
+
+        def go(_):
+            crops = gather_chunk(sel, v)
+            f, _ = embed_chunk(crops)
+            return f
+
+        f = jax.lax.cond(
+            jnp.any(v), go, lambda _: jnp.zeros((c, EMBED_DIM), jnp.float32), None
+        )
+        return None, jnp.where(v[:, None], f, 0.0)
+
+    if num_chunks == 1:
+        _, feats = body(None, sel_chunks[0])
+        feats_flat = feats
+    else:
+        _, feats = jax.lax.scan(body, None, sel_chunks)
+        feats_flat = feats.reshape(num_chunks * c, -1)
+    out = jnp.zeros((n, EMBED_DIM), feats_flat.dtype)
+    return out.at[order].set(feats_flat, mode="drop")
+
+
 def embed_detections(
     frame: jax.Array,
     boxes: jax.Array,
@@ -92,22 +149,57 @@ def embed_detections(
     crop_gain: float = 1.0,
     crop_pad: Tuple[float, float] = (0.0, 0.0),
 ) -> jax.Array:
-    """Compacted crop + ReID embed for one frame's detections: [N, F].
+    """Crop + ReID embed for ALL of one frame's valid detections: [N, F].
 
-    Only the first max_embed valid detections get features (zeros beyond);
-    crop_gain/crop_pad map source-pixel boxes into a letterboxed crop frame.
+    Matches the reference, which embeds every crop (deep_sort.py:119-129);
+    the CNN runs in chunks of hp.max_embed crops (compacted valid-first, so
+    empty chunks are skipped at runtime). crop_gain/crop_pad map source-pixel
+    boxes into a letterboxed crop frame.
     """
-    n = boxes.shape[0]
-    m = min(hp.max_embed, n)
-    order = jnp.argsort(~valid, stable=True)  # valid dets first, index order
-    sel = order[:m]
-    crop_boxes = boxes[sel]
-    if crop_gain != 1.0 or crop_pad != (0.0, 0.0):
-        px, py = crop_pad
-        crop_boxes = crop_boxes * crop_gain + jnp.asarray([px, py, px, py], jnp.float32)
-    crops = gather_crops(frame, crop_boxes, valid[sel])
-    feats_c, _ = reid_forward(reid_params, reid_stats, crops, train=False, reid=True)
-    return jnp.zeros((n, feats_c.shape[1]), feats_c.dtype).at[sel].set(feats_c)
+    boxes_t = _crop_transform(boxes, crop_gain, crop_pad)
+    boxes_p = jnp.concatenate([boxes_t, jnp.zeros((1, 4), boxes_t.dtype)])
+
+    def gather_chunk(sel, v):
+        return gather_crops(frame, boxes_p[sel], v)
+
+    def embed_chunk(crops):
+        return reid_forward(reid_params, reid_stats, crops, train=False, reid=True)
+
+    return _embed_compacted_chunks(gather_chunk, embed_chunk, valid, hp.max_embed)
+
+
+def embed_detections_batch(
+    frames: jax.Array,   # [B, H, W, 3] crop source
+    boxes: jax.Array,    # [B, N, 4] xyxy in crop-source pixels pre-transform
+    valid: jax.Array,    # [B, N] bool
+    reid_params,
+    reid_stats,
+    hp: DeepSortParams,
+    crop_gain: float = 1.0,
+    crop_pad: Tuple[float, float] = (0.0, 0.0),
+) -> jax.Array:
+    """Batch-global chunked ReID embed: [B, N, F], every valid det embedded.
+
+    All B frames' detections share one compacted chunk stream, so a crowded
+    frame borrows CNN batch slots from quiet ones — total forwards =
+    ceil(total_valid / max_embed) rather than B * ceil(N / max_embed).
+    """
+    b, n = valid.shape
+    fb = _crop_transform(boxes.reshape(b * n, 4), crop_gain, crop_pad)
+    fb = jnp.concatenate([fb, jnp.zeros((1, 4), fb.dtype)])
+    fidx = jnp.concatenate(
+        [jnp.repeat(jnp.arange(b, dtype=jnp.int32), n), jnp.zeros((1,), jnp.int32)]
+    )
+    fv = valid.reshape(b * n)
+
+    def gather_chunk(sel, v):
+        return gather_crops_batch(frames, fidx[sel], fb[sel], v)
+
+    def embed_chunk(crops):
+        return reid_forward(reid_params, reid_stats, crops, train=False, reid=True)
+
+    feats = _embed_compacted_chunks(gather_chunk, embed_chunk, fv, hp.max_embed)
+    return feats.reshape(b, n, -1)
 
 
 def deepsort_frame_core(
