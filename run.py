@@ -19,7 +19,11 @@ parser.add_argument("--weight", type=str, default=None, help="checkpoint of yolo
 parser.add_argument("--input_path", type=str, required=True, help="video file or directory")
 parser.add_argument("--output_path", type=str, required=True, help="directory for CSV/MP4 outputs")
 parser.add_argument("--gpus", type=str, default="0", help="accepted for parity; unused on TPU")
-parser.add_argument("--debug", action="store_true", help="verbose per-video output")
+parser.add_argument("--debug", action="store_true", help="print per-stage timing per video")
+parser.add_argument("--profile", nargs="?", const="/tmp/vct_trace", default=None,
+                    metavar="DIR", help="capture a jax.profiler trace to DIR")
+parser.add_argument("--check_numerics", action="store_true",
+                    help="numeric sanitizer: jax_debug_nans + finite-output checks")
 parser.add_argument("--mapping", default=None, help="'coco' -> COCO->vehicle class mapping")
 parser.add_argument("--config", type=str, default=None, help="path to configs.yaml override")
 parser.add_argument("--cam_config", type=str, default=None, help="path to cam_configs.yaml override")

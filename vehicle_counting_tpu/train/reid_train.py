@@ -130,6 +130,27 @@ def load_checkpoint(path: str, params, stats, opt_state):
     return params, stats, opt_state, int(epoch), float(acc)
 
 
+def save_train_curves(history: Dict, path: str) -> None:
+    """Loss / top-1 error curves to a JPG (reference train.py:161-176:
+    draw_curve plots per-epoch train/test loss and error to train.jpg)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    epochs = list(range(len(history["loss"])))
+    fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(9, 4))
+    ax0.plot(epochs, history["loss"], "bo-", label="train")
+    ax0.set_title("loss")
+    ax0.legend()
+    ax1.plot(epochs, [1.0 - a for a in history["acc"]], "bo-", label="train")
+    ax1.plot(epochs, [1.0 - a for a in history["val_acc"]], "ro-", label="val")
+    ax1.set_title("top1err")
+    ax1.legend()
+    fig.savefig(path)
+    plt.close(fig)
+
+
 def fit(
     train_data: Iterator,
     eval_data,
@@ -195,4 +216,7 @@ def fit(
                 os.path.join(checkpoint_dir, "new_ckpt.npz"),
                 params, stats, opt_state, epoch, best_acc,
             )
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            save_train_curves(history, os.path.join(checkpoint_dir, "train.jpg"))
     return {"params": params, "stats": stats, "history": history, "best_acc": best_acc}
