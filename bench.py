@@ -31,11 +31,24 @@ def main():
     from vehicle_counting_tpu.pipeline.step import pipeline_batch_step
     from vehicle_counting_tpu.tracking import DeepSortParams, TrackerParams, init_states
 
-    B = int(os.environ.get("BENCH_BATCH", "32"))
-    H, W = 720, 1280
+    # BENCH_MODE selects the BASELINE config being measured; the default
+    # metric (driver-recorded) stays YOLOv5s-640. BENCH_MODE=yolov5m_1024
+    # reproduces BASELINE config 3 (yolov5m @ 1024, README.md:53) on demand.
+    mode = os.environ.get("BENCH_MODE", "yolov5s_640")
+    if mode == "yolov5m_1024":
+        variant, det_hw, src_hw_default, b_default = "yolov5m", (1024, 1024), (1080, 1920), 16
+        metric = "e2e_detect_track_fps_per_chip_yolov5m1024"
+    elif mode == "yolov5s_640":
+        variant, det_hw, src_hw_default, b_default = "yolov5s", (640, 640), (720, 1280), 32
+        metric = "e2e_detect_track_fps_per_chip_yolov5s640"
+    else:
+        raise SystemExit(f"unknown BENCH_MODE: {mode}")
+
+    B = int(os.environ.get("BENCH_BATCH", str(b_default)))
+    H, W = src_hw_default
     N_BATCHES = int(os.environ.get("BENCH_BATCHES", "20"))
 
-    ycfg = YoloConfig(variant="yolov5s", num_classes=80)
+    ycfg = YoloConfig(variant=variant, num_classes=80)
     yolo_params = jax.device_put(init_yolov5(jax.random.PRNGKey(0), ycfg))
     reid_params, reid_stats = init_reid(jax.random.PRNGKey(1))
     reid_params = jax.device_put(reid_params)
@@ -52,7 +65,7 @@ def main():
     # thin-upload path: host-letterboxed 640x640 uint8 (what the pipeline ships)
     host_batches = [
         host_letterbox_yuv420(
-            rng.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8), (640, 640)
+            rng.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8), det_hw
         )
         for _ in range(2)
     ]
@@ -68,7 +81,7 @@ def main():
 
     def make_kw(conf):
         return dict(
-            ycfg=ycfg, hp=hp, image_size=(640, 640), src_hw=(H, W),
+            ycfg=ycfg, hp=hp, image_size=det_hw, src_hw=(H, W),
             conf_thres=conf, iou_thres=0.45, max_det=300, dtype=jnp.bfloat16,
             frames_format="letterboxed_yuv420",
         )
@@ -129,7 +142,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "e2e_detect_track_fps_per_chip_yolov5s640",
+                "metric": metric,
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / baseline_per_chip, 3),
