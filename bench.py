@@ -58,14 +58,20 @@ def main():
 
     from concurrent.futures import ThreadPoolExecutor
 
-    from vehicle_counting_tpu.ops.letterbox import host_letterbox_yuv420, yuv420_to_rgb
+    from vehicle_counting_tpu.ops.letterbox import (
+        content_upload_exact,
+        host_letterbox_yuv420,
+    )
 
     rng = np.random.default_rng(0)
     # a couple of distinct host frame batches to avoid pathological caching;
-    # thin-upload path: host-letterboxed 640x640 uint8 (what the pipeline ships)
+    # thin-upload path: host-letterboxed content-row I420, exactly what the
+    # pipeline ships (content-only is bit-exact for these 16:9 geometries)
+    assert content_upload_exact((H, W), det_hw)
     host_batches = [
         host_letterbox_yuv420(
-            rng.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8), det_hw
+            rng.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8), det_hw,
+            content_only=True,
         )
         for _ in range(2)
     ]

@@ -79,23 +79,105 @@ def host_letterbox(frames: "object", dst_hw: Tuple[int, int]):
     return out
 
 
-def host_letterbox_yuv420(frames, dst_hw: Tuple[int, int]):
+def content_rows(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]) -> Tuple[int, int]:
+    """(top, ch): content row offset and even-aligned content height.
+
+    The letterboxed frame is mostly constant gray padding (720p -> 640x640
+    keeps only 360 content rows); the content-only upload ships just those
+    rows. ch is new_h rounded up to even so the I420 chroma planes tile;
+    exactness vs the full-frame path additionally needs `top` even so 2x2
+    chroma blocks never straddle the content/pad boundary (checked by
+    `content_upload_exact`).
+    """
+    dh, dw = dst_hw
+    gain, pad_x, pad_y, new_w, new_h = letterbox_params(src_hw, dst_hw)
+    top = int(round(pad_y - 0.1))
+    ch = new_h + (new_h & 1)
+    return top, min(ch, dh - top)
+
+
+def content_upload_exact(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]) -> bool:
+    """True when the content-only upload is bit-identical to full-frame."""
+    top, ch = content_rows(src_hw, dst_hw)
+    _, _, _, _, new_h = letterbox_params(src_hw, dst_hw)
+    return top % 2 == 0 and ch == new_h
+
+
+def _gray_yuv():
+    """I420 bytes cv2 produces for the uniform 114-gray padding."""
+    import cv2
+    import numpy as np
+
+    g = cv2.cvtColor(np.full((2, 2, 3), int(PAD_VALUE), np.uint8), cv2.COLOR_RGB2YUV_I420)
+    return int(g[0, 0]), int(g[2, 0]), int(g[2, 1])  # y, u, v
+
+
+def host_letterbox_yuv420(frames, dst_hw: Tuple[int, int], content_only: bool = False):
     """Letterbox + RGB->I420 on host: [B, dh*3/2, dw] uint8.
 
     Video sources are 4:2:0 to begin with, so shipping planar YUV420 to the
     device halves host->device bytes with no information the codec hadn't
     already discarded. Reconstruct with `yuv420_to_rgb` on device.
+
+    content_only=True ships ONLY the content rows ([B, ch*3/2, dw]) and the
+    device re-inserts the constant gray padding (`yuv420_content_to_full`):
+    another ~1.8x transfer cut at 720p->640, bit-identical to the full path
+    whenever `content_upload_exact` holds (it does for the standard 16:9
+    inputs; callers should fall back to full frames otherwise).
     """
     import cv2
     import numpy as np
 
-    lb = host_letterbox(frames, dst_hw)
-    b = lb.shape[0]
+    b, sh, sw, c = frames.shape
     dh, dw = dst_hw
+    if content_only:
+        gain, pad_x, pad_y, new_w, new_h = letterbox_params((sh, sw), (dh, dw))
+        top, ch = content_rows((sh, sw), (dh, dw))
+        left = int(round(pad_x - 0.1))
+        out = np.empty((b, ch * 3 // 2, dw), np.uint8)
+        strip = np.full((ch, dw, c), int(PAD_VALUE), np.uint8)
+        for i in range(b):
+            r = cv2.resize(frames[i], (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+            strip[:new_h, left : left + new_w] = r
+            out[i] = cv2.cvtColor(strip, cv2.COLOR_RGB2YUV_I420)
+        return out
+
+    lb = host_letterbox(frames, dst_hw)
     out = np.empty((b, dh * 3 // 2, dw), np.uint8)
     for i in range(b):
         out[i] = cv2.cvtColor(lb[i], cv2.COLOR_RGB2YUV_I420)
     return out
+
+
+def yuv420_content_to_full(
+    yuv_c: jax.Array, src_hw: Tuple[int, int], dst_hw: Tuple[int, int]
+) -> jax.Array:
+    """Re-insert the gray padding rows into a content-only I420 upload.
+
+    yuv_c: [B, ch*3/2, dw] from host_letterbox_yuv420(content_only=True).
+    Returns [B, dh*3/2, dw] equal to the full-frame host conversion (given
+    `content_upload_exact`), so everything downstream is unchanged.
+    """
+    b, ch15, w = yuv_c.shape
+    ch = ch15 * 2 // 3
+    dh, dw = dst_hw
+    top, ch_expect = content_rows(src_hw, dst_hw)
+    assert ch == ch_expect and w == dw, (yuv_c.shape, src_hw, dst_hw)
+    yg, ug, vg = _gray_yuv()
+
+    y = yuv_c[:, :ch, :]
+    u = yuv_c[:, ch : ch + ch // 4, :].reshape(b, ch // 2, w // 2)
+    v = yuv_c[:, ch + ch // 4 :, :].reshape(b, ch // 2, w // 2)
+
+    yf = jnp.full((b, dh, w), yg, jnp.uint8)
+    yf = jax.lax.dynamic_update_slice(yf, y, (0, top, 0))
+    uf = jnp.full((b, dh // 2, w // 2), ug, jnp.uint8)
+    uf = jax.lax.dynamic_update_slice(uf, u, (0, top // 2, 0))
+    vf = jnp.full((b, dh // 2, w // 2), vg, jnp.uint8)
+    vf = jax.lax.dynamic_update_slice(vf, v, (0, top // 2, 0))
+    return jnp.concatenate(
+        [yf, uf.reshape(b, dh // 4, w), vf.reshape(b, dh // 4, w)], axis=1
+    )
 
 
 def yuv420_to_rgb(yuv: jax.Array) -> jax.Array:

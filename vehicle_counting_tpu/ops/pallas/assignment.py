@@ -11,10 +11,11 @@ Same contract and tie-breaking as tracking/assignment.py::solve_assignment_sub
 (which remains the lowering used under vmap/CPU tests); this kernel is the
 TPU fast path. Equivalence is tested against the XLA version and scipy.
 
-The kernel is scatter-free and dynamic-slice-free (Pallas TPU lowers
-neither): point updates are masked whole-vector selects against broadcasted
-iotas and vec[j] reads are one-hot reductions — at S <= 64 those stay in
-vector registers anyway.
+Mosaic constraints shaping the kernel: no scatter/dynamic-slice lowerings
+(point updates are masked whole-vector selects against broadcasted iotas,
+vec[j] reads are one-hot reductions), and every vector is a 2-D [1, LANES]
+tile with LANES a multiple of 128 — odd 1-D lengths like S+1 trip vector
+relayout bugs in Mosaic.
 
 Availability: `pallas_assignment_supported()` probes whether the backend can
 compile Mosaic kernels (some remote-tunnel dev backends cannot); callers
@@ -33,26 +34,34 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = 1e18
 
 
-def _insert_rows_kernel(nr_ref, cost_ref, p_out_ref):
-    """Insert rows [0, nr) of cost [S, S]; p_out [1, S+1] (col -> row, -1 free).
+def _lanes_for(s: int) -> int:
+    """Lane count holding indices 0..S (virtual column included), 128-aligned."""
+    return 128 * (-(-(s + 1) // 128))
 
-    Scatter-free formulation (Pallas TPU has no scatter lowering): every
-    point update is a masked whole-vector select against a broadcasted iota,
-    and the dual update u[p[j]] += delta uses a [S+1, S+1] one-hot match.
+
+def _insert_rows_kernel(nr_ref, cost_ref, p_out_ref):
+    """Insert rows [0, nr) of cost [S, S]; p_out [1, LANES] (col -> row, -1 free).
+
+    Lane layout: lanes 0..S-1 are the S columns, lane S is the virtual root
+    column, lanes > S are dead. All state lives in [1, LANES] vector tiles.
     """
     s = cost_ref.shape[0]
+    lanes = p_out_ref.shape[1]
     nr = nr_ref[0]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (s + 1, 1), 0)[:, 0]  # [s+1]
-    idx_s = idx[:s]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)      # [1, L]
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)         # [S, 1]
+    live = idx < s                                                 # real columns
 
-    p0 = jnp.full((s + 1,), -1, jnp.int32)
-    u0 = jnp.zeros((s + 1,), jnp.float32)
-    v0 = jnp.zeros((s + 1,), jnp.float32)
+    p0 = jnp.full((1, lanes), -1, jnp.int32)
+    u0 = jnp.zeros((1, lanes), jnp.float32)
+    v0 = jnp.zeros((1, lanes), jnp.float32)
 
-    def pick(vec, j):
-        """vec[j] without dynamic_slice: one-hot masked sum."""
-        n = vec.shape[0]
-        return jnp.sum(jnp.where(idx[:n] == j, vec, jnp.zeros_like(vec)))
+    def pick_i32(vec, j):
+        """vec[0, j] as a scalar: one-hot masked reduction (no dynamic slice)."""
+        return jnp.max(jnp.where(idx == j, vec, jnp.int32(-2147483648)))
+
+    def pick_f32(vec, j):
+        return jnp.sum(jnp.where(idx == j, vec, 0.0))
 
     def insert_row(i, carry):
         u, v, p = carry
@@ -60,36 +69,45 @@ def _insert_rows_kernel(nr_ref, cost_ref, p_out_ref):
 
         def dij_cond(st):
             _, _, _, _, j0, _ = st
-            return pick(p, j0) != -1
+            return pick_i32(p, j0) != -1
 
         def dij_body(st):
-            u_, v_, minv, way, j0, used = st
-            used = used | (idx == j0)
-            i0 = pick(p, j0)
+            # `used` is an i32 0/1 mask: i1 vectors in while-loop carries do
+            # not legalize in Mosaic (scf.yield)
+            u_, v_, minv, way, j0, used_i = st
+            used_i = jnp.maximum(used_i, (idx == j0).astype(jnp.int32))
+            used = used_i != 0
+            i0 = pick_i32(p, j0)
+            # cost row i0 spread onto the lane layout (cols >= S get +INF)
             cost_row = jnp.sum(
-                jnp.where((idx_s == i0)[:, None], cost_ref[:, :], 0.0), axis=0
-            )
-            cur = cost_row - pick(u_, i0) - v_[:s]
-            better = (~used[:s]) & (cur < minv)
+                jnp.where(ridx == i0, cost_ref[:, :], 0.0), axis=0, keepdims=True
+            )  # [1, S]
+            cost_row = jax.lax.pad(
+                cost_row, _INF, ((0, 0, 0), (0, lanes - s, 0))
+            )  # [1, L]
+            cur = cost_row - pick_f32(u_, i0) - v
+            better = live & (~used) & (cur < minv)
             minv = jnp.where(better, cur, minv)
             way = jnp.where(better, j0, way)
-            masked = jnp.where(used[:s], _INF, minv)
-            j1 = jnp.argmin(masked).astype(jnp.int32)
+            masked = jnp.where(used | ~live, _INF, minv)
             delta = jnp.min(masked)
+            # FIRST minimum wins (scipy tie-breaking); Mosaic's argmin
+            # returns the LAST tied index, so select explicitly
+            j1 = jnp.min(jnp.where(masked == delta, idx, lanes)).astype(jnp.int32)
             # u[p[j]] += delta for used cols j: one-hot row match, no scatter
-            hit = jnp.any((p[None, :] == idx[:, None]) & used[None, :], axis=1)
+            hit = jnp.any((p == idx.reshape(lanes, 1)) & used, axis=1).reshape(1, lanes)
             u_ = u_ + jnp.where(hit, delta, 0.0)
             v_ = v_ - jnp.where(used, delta, 0.0)
-            minv = jnp.where(used[:s], minv, minv - delta)
-            return u_, v_, minv, way, j1, used
+            minv = jnp.where(used | ~live, minv, minv - delta)
+            return u_, v_, minv, way, j1, used_i
 
         st0 = (
             u,
             v,
-            jnp.full((s,), _INF, jnp.float32),
-            jnp.full((s,), s, jnp.int32),
+            jnp.full((1, lanes), _INF, jnp.float32),
+            jnp.full((1, lanes), s, jnp.int32),
             jnp.int32(s),
-            jnp.zeros((s + 1,), bool),
+            jnp.zeros((1, lanes), jnp.int32),
         )
         u, v, minv, way, j0, used = jax.lax.while_loop(dij_cond, dij_body, st0)
 
@@ -99,22 +117,23 @@ def _insert_rows_kernel(nr_ref, cost_ref, p_out_ref):
 
         def aug_body(st):
             j0_, p_ = st
-            j1 = pick(way, j0_)
-            p_ = jnp.where(idx == j0_, pick(p_, j1), p_)
+            j1 = pick_i32(way, j0_)
+            p_ = jnp.where(idx == j0_, pick_i32(p_, j1), p_)
             return j1, p_
 
         _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
         return u, v, p
 
     _, _, p = jax.lax.fori_loop(0, nr, insert_row, (u0, v0, p0))
-    p_out_ref[0, :] = p
+    p_out_ref[...] = p
 
 
 def _insert_rows_pallas(cost: jax.Array, nr, *, interpret: bool = False) -> jax.Array:
     s = cost.shape[0]
+    lanes = _lanes_for(s)
     p = pl.pallas_call(
         _insert_rows_kernel,
-        out_shape=jax.ShapeDtypeStruct((1, s + 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, lanes), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -122,7 +141,7 @@ def _insert_rows_pallas(cost: jax.Array, nr, *, interpret: bool = False) -> jax.
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(jnp.asarray([nr], jnp.int32), cost.astype(jnp.float32))
-    return p[0]
+    return p[0, : s + 1]
 
 
 _SUPPORTED = None

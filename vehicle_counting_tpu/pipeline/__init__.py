@@ -201,7 +201,16 @@ class CountingPipeline:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        from vehicle_counting_tpu.ops.letterbox import host_letterbox_yuv420
+        from vehicle_counting_tpu.ops.letterbox import (
+            content_upload_exact,
+            host_letterbox_yuv420,
+        )
+
+        # ship only the letterbox content rows when that's bit-exact (~1.8x
+        # less transfer at 720p->640; the device re-inserts the gray padding)
+        content_only = thin and content_upload_exact(
+            (info["height"], info["width"]), self.image_size
+        )
 
         def produce(it):
             """Decode + letterbox + upload the next batch (runs in the worker
@@ -214,7 +223,9 @@ class CountingPipeline:
             frames, frame_ids, valid = batch
             if thin:
                 with timer.stage("letterbox"):
-                    frames = host_letterbox_yuv420(frames, self.image_size)
+                    frames = host_letterbox_yuv420(
+                        frames, self.image_size, content_only=content_only
+                    )
             with timer.stage("upload"):
                 fdev = jax.device_put(frames)
             return fdev, frame_ids, valid

@@ -69,7 +69,11 @@ def pipeline_batch_step(
       letterboxed_yuv420- [B, dh*3/2, dw] host-letterboxed planar I420
                           (another 2x less; video sources are 4:2:0 anyway).
     """
-    from vehicle_counting_tpu.ops.letterbox import letterbox_params, yuv420_to_rgb
+    from vehicle_counting_tpu.ops.letterbox import (
+        letterbox_params,
+        yuv420_content_to_full,
+        yuv420_to_rgb,
+    )
 
     if frames_format == "raw_rgb":
         imgs = letterbox(frames, image_size)
@@ -77,6 +81,9 @@ def pipeline_batch_step(
         crop_kw = dict(out_hw=src_hw)
     else:
         if frames_format == "letterboxed_yuv420":
+            if frames.shape[1] != image_size[0] * 3 // 2:
+                # content-only upload: re-insert the constant gray padding
+                frames = yuv420_content_to_full(frames, src_hw, image_size)
             rgb = yuv420_to_rgb(frames)  # [B, dh, dw, 3] f32 0..255
             imgs = rgb / 255.0
             # uint8 crop source: 4x less gather traffic in the ReID crop op

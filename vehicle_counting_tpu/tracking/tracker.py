@@ -46,7 +46,7 @@ from vehicle_counting_tpu.tracking import kalman
 from vehicle_counting_tpu.tracking.assignment import (
     BIG,
     matching_cost_matrix,
-    solve_assignment_sub,
+    solve_assignment_sub_fast,
 )
 
 INFTY_COST = 1e5  # linear_assignment.py:9
@@ -150,7 +150,7 @@ def _match_stage(cost, rows, det_free, track_col, threshold, row_order, det_key,
         col_perm = jnp.argsort(jnp.where(det_free_, det_key_, imax), stable=True)
         c = matching_cost_matrix(cost, rows, det_free_, threshold)
         c2 = c[row_perm][:, col_perm]
-        r2c = solve_assignment_sub(c2, nr, nc)  # permuted row -> permuted col
+        r2c = solve_assignment_sub_fast(c2, nr, nc)  # permuted row -> permuted col
 
         a = jnp.arange(k)
         paired = (a < nr) & (r2c >= 0) & (r2c < nc)
