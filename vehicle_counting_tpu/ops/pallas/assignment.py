@@ -39,15 +39,13 @@ def _lanes_for(s: int) -> int:
     return 128 * (-(-(s + 1) // 128))
 
 
-def _insert_rows_kernel(nr_ref, cost_ref, p_out_ref):
-    """Insert rows [0, nr) of cost [S, S]; p_out [1, LANES] (col -> row, -1 free).
+def _insert_rows_body(nr, load_cost_row_sum, s: int, lanes: int):
+    """Shared JV insertion: returns p [1, LANES] (col -> row, -1 free).
 
     Lane layout: lanes 0..S-1 are the S columns, lane S is the virtual root
     column, lanes > S are dead. All state lives in [1, LANES] vector tiles.
+    load_cost_row_sum(onehot [S,1]) -> [1, S]: the selected cost row.
     """
-    s = cost_ref.shape[0]
-    lanes = p_out_ref.shape[1]
-    nr = nr_ref[0]
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)      # [1, L]
     ridx = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)         # [S, 1]
     live = idx < s                                                 # real columns
@@ -79,9 +77,7 @@ def _insert_rows_kernel(nr_ref, cost_ref, p_out_ref):
             used = used_i != 0
             i0 = pick_i32(p, j0)
             # cost row i0 spread onto the lane layout (cols >= S get +INF)
-            cost_row = jnp.sum(
-                jnp.where(ridx == i0, cost_ref[:, :], 0.0), axis=0, keepdims=True
-            )  # [1, S]
+            cost_row = load_cost_row_sum(ridx == i0)  # [1, S]
             cost_row = jax.lax.pad(
                 cost_row, _INF, ((0, 0, 0), (0, lanes - s, 0))
             )  # [1, L]
@@ -125,10 +121,43 @@ def _insert_rows_kernel(nr_ref, cost_ref, p_out_ref):
         return u, v, p
 
     _, _, p = jax.lax.fori_loop(0, nr, insert_row, (u0, v0, p0))
-    p_out_ref[...] = p
+    return p
 
 
-def _insert_rows_pallas(cost: jax.Array, nr, *, interpret: bool = False) -> jax.Array:
+def _insert_rows_kernel(nr_ref, cost_ref, p_out_ref):
+    """Single-problem kernel: cost [S, S], nr in SMEM, p_out [1, LANES]."""
+    s = cost_ref.shape[0]
+    lanes = p_out_ref.shape[1]
+
+    def load_row(onehot_s1):
+        return jnp.sum(
+            jnp.where(onehot_s1, cost_ref[:, :], 0.0), axis=0, keepdims=True
+        )
+
+    p_out_ref[...] = _insert_rows_body(nr_ref[0], load_row, s, lanes)
+
+
+def _insert_rows_kernel_grid(nr_ref, cost_ref, p_out_ref):
+    """Grid-batched kernel: one JV solve per grid step (class), one launch.
+
+    cost_ref block [1, S, S] (class i's matrix), nr_ref SMEM [C] indexed by
+    program_id, p_out block [1, 8, LANES] (8 sublanes for tile alignment;
+    the result is replicated across them and row 0 is read back).
+    """
+    s = cost_ref.shape[1]
+    lanes = p_out_ref.shape[2]
+    nr = nr_ref[pl.program_id(0)]
+
+    def load_row(onehot_s1):
+        return jnp.sum(
+            jnp.where(onehot_s1, cost_ref[0, :, :], 0.0), axis=0, keepdims=True
+        )
+
+    p = _insert_rows_body(nr, load_row, s, lanes)  # [1, LANES]
+    p_out_ref[...] = jnp.broadcast_to(p, (1, 8, lanes))
+
+
+def _insert_rows_pallas_base(cost: jax.Array, nr, *, interpret: bool = False) -> jax.Array:
     s = cost.shape[0]
     lanes = _lanes_for(s)
     p = pl.pallas_call(
@@ -142,6 +171,47 @@ def _insert_rows_pallas(cost: jax.Array, nr, *, interpret: bool = False) -> jax.
         interpret=interpret,
     )(jnp.asarray([nr], jnp.int32), cost.astype(jnp.float32))
     return p[0, : s + 1]
+
+
+def _insert_rows_pallas_batched(costs: jax.Array, n_ins, *, interpret: bool = False) -> jax.Array:
+    """[C, S, S] problems in ONE kernel launch (grid over the class axis)."""
+    c, s, _ = costs.shape
+    lanes = _lanes_for(s)
+    p = pl.pallas_call(
+        _insert_rows_kernel_grid,
+        grid=(c,),
+        out_shape=jax.ShapeDtypeStruct((c, 8, lanes), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, s, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(n_ins.astype(jnp.int32), costs.astype(jnp.float32))
+    return p[:, 0, : s + 1]
+
+
+def _make_insert_rows(interpret: bool):
+    """custom_vmap wrapper: single launch unbatched, grid kernel under vmap."""
+
+    @jax.custom_batching.custom_vmap
+    def insert(cost: jax.Array, nr) -> jax.Array:
+        return _insert_rows_pallas_base(cost, nr, interpret=interpret)
+
+    @insert.def_vmap
+    def _vmap_rule(axis_size, in_batched, cost, nr):
+        cost_b, nr_b = in_batched
+        if not cost_b:
+            cost = jnp.broadcast_to(cost, (axis_size,) + cost.shape)
+        if not nr_b:
+            nr = jnp.broadcast_to(jnp.asarray(nr, jnp.int32), (axis_size,))
+        return _insert_rows_pallas_batched(cost, nr, interpret=interpret), True
+
+    return insert
+
+
+_insert_rows_pallas = _make_insert_rows(False)
+_insert_rows_pallas_interp = _make_insert_rows(True)
 
 
 _SUPPORTED = None
@@ -165,16 +235,12 @@ def pallas_assignment_supported() -> bool:
 
 @partial(jax.jit, static_argnames=("interpret",))
 def solve_assignment_sub_pallas(cost: jax.Array, nr, nc, *, interpret: bool = False) -> jax.Array:
-    """Drop-in for tracking.assignment.solve_assignment_sub on TPU."""
-    s = cost.shape[0]
-    cols = jnp.arange(s, dtype=jnp.int32)
+    """Drop-in for tracking.assignment.solve_assignment_sub on TPU.
 
-    def normal(_):
-        p = _insert_rows_pallas(cost, nr, interpret=interpret)
-        r2c = jnp.full((s,), -1, jnp.int32)
-        return r2c.at[jnp.where(p[:s] >= 0, p[:s], s)].set(cols, mode="drop")
+    Branch-free (solve_uniform), so vmapping it solves every lane's problem
+    in ONE grid kernel launch via the custom_vmap rule.
+    """
+    from vehicle_counting_tpu.tracking.assignment import solve_uniform
 
-    def transposed(_):
-        return _insert_rows_pallas(cost.T, nc, interpret=interpret)[:s]
-
-    return jax.lax.cond(nr <= nc, normal, transposed, None)
+    insert = _insert_rows_pallas_interp if interpret else _insert_rows_pallas
+    return solve_uniform(insert, cost, nr, nc)

@@ -134,9 +134,30 @@ def solve_assignment(cost: jax.Array) -> jax.Array:
     return solve_assignment_sub(sq, jnp.int32(n), jnp.int32(m))[:n]
 
 
+def solve_uniform(insert_fn, cost: jax.Array, nr, nc) -> jax.Array:
+    """Branch-free scipy-transpose handling around a row-insertion solver.
+
+    Replaces the lax.cond(nr <= nc) with a data select (transpose the matrix
+    and insert the smaller side), so exactly ONE insertion runs — under vmap
+    a cond would execute BOTH branches per lane. Output identical to the
+    cond form.
+    """
+    s = cost.shape[0]
+    flip = nr > nc
+    mat = jnp.where(flip, cost.T, cost)
+    n_ins = jnp.where(flip, nc, nr)
+    p = insert_fn(mat, n_ins)  # [s+1] col -> row (of the inserted side)
+    cols = jnp.arange(s, dtype=jnp.int32)
+    r2c_normal = jnp.full((s,), -1, jnp.int32).at[
+        jnp.where(p[:s] >= 0, p[:s], s)
+    ].set(cols, mode="drop")
+    # flipped: p is indexed by cost.T's columns == original rows, so p IS r2c
+    return jnp.where(flip, p[:s], r2c_normal)
+
+
 def solve_assignment_sub_fast(cost: jax.Array, nr, nc) -> jax.Array:
     """Backend-dispatched solve: single-launch Pallas kernel on TPU, the XLA
-    lowering elsewhere.
+    lowering elsewhere; branch-free, so it vmaps into ONE batched launch.
 
     The two produce bitwise-identical assignments (the Pallas kernel
     reproduces first-minimum tie scans explicitly because Mosaic's argmin
@@ -146,17 +167,15 @@ def solve_assignment_sub_fast(cost: jax.Array, nr, nc) -> jax.Array:
     if jax.default_backend() == "tpu":
         try:
             from vehicle_counting_tpu.ops.pallas.assignment import (
+                _insert_rows_pallas,
                 pallas_assignment_supported,
-                solve_assignment_sub_pallas,
             )
 
             if pallas_assignment_supported():
-                return solve_assignment_sub_pallas.__wrapped__(
-                    cost, nr, nc, interpret=False
-                )
+                return solve_uniform(_insert_rows_pallas, cost, nr, nc)
         except Exception:
             pass
-    return solve_assignment_sub.__wrapped__(cost, nr, nc)
+    return solve_uniform(_insert_rows, cost, nr, nc)
 
 
 def matching_cost_matrix(cost: jax.Array, row_mask: jax.Array, col_mask: jax.Array, max_distance) -> jax.Array:

@@ -253,6 +253,11 @@ def deepsort_frame_core(
     width = jnp.int32(w)
     height = jnp.int32(h)
 
+    # scan (not vmap) over classes: measured FASTER on v5e (0.74 vs 0.89
+    # ms/frame) — the Pallas solves are sequential on the single tensorcore
+    # either way, and scan keeps the lax.cond skips (empty classes, empty
+    # cascade levels) as real control flow instead of vmap's executed-both-
+    # ways selects. See ROADMAP 'measured negative results'.
     def scan_body(_, xs):
         st, t, s, f, v, pres, ordr = xs
         # __wrapped__: avoid a nested pjit inside the scan body (leaner
