@@ -42,6 +42,7 @@ def multicam_batch_step(
     iou_thres: float = 0.45,
     max_det: int = 300,
     dtype=jnp.bfloat16,
+    frames_format: str = "raw_rgb",
 ):
     """One batch step for every camera at once, cameras sharded over 'cam'."""
 
@@ -52,7 +53,7 @@ def multicam_batch_step(
                 yolo_p, reid_p, reid_s, st, fr, va, lut,
                 ycfg=ycfg, hp=hp, image_size=image_size, src_hw=src_hw,
                 conf_thres=conf_thres, iou_thres=iou_thres,
-                max_det=max_det, dtype=dtype,
+                max_det=max_det, dtype=dtype, frames_format=frames_format,
             )
             return None, (st2, touts)
 

@@ -77,9 +77,29 @@ class MultiCamCountingPipeline:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        from vehicle_counting_tpu.ops.letterbox import (
+            content_rows,
+            content_upload_exact,
+            host_letterbox_yuv420,
+        )
+
+        # thin upload (same policy as CountingPipeline.run_video): host
+        # letterbox to content-row I420 when bit-exact for this geometry
+        thin = base.config.thin_upload
+        thin = True if thin is None else bool(thin)
+        content_only = thin and content_upload_exact((h, w), base.image_size)
+        if thin:
+            dh, dw = base.image_size
+            ch = content_rows((h, w), base.image_size)[1] if content_only else dh
+            frame_shape = (total, b, ch * 3 // 2, dw)
+            frames_format = "letterboxed_yuv420"
+        else:
+            frame_shape = (total, b, h, w, 3)
+            frames_format = "raw_rgb"
+
         def produce():
             """Decode all cameras' next batches (worker thread overlaps compute)."""
-            frames = np.zeros((total, b, h, w, 3), np.uint8)
+            frames = np.zeros(frame_shape, np.uint8)
             ids = np.zeros((total, b), np.int64)
             valid = np.zeros((total, b), bool)
             for i, it in enumerate(iters):
@@ -87,6 +107,10 @@ class MultiCamCountingPipeline:
                     continue
                 try:
                     f, fid, v = next(it)
+                    if thin:
+                        f = host_letterbox_yuv420(
+                            f, base.image_size, content_only=content_only
+                        )
                     frames[i], ids[i], valid[i] = f, fid, v
                 except StopIteration:
                     done[i] = True
@@ -122,6 +146,7 @@ class MultiCamCountingPipeline:
                     ycfg=base.ycfg, hp=hp, image_size=base.image_size, src_hw=(h, w),
                     conf_thres=base.conf_thres, iou_thres=base.iou_thres,
                     max_det=base.max_det, dtype=base.dtype,
+                    frames_format=frames_format,
                 )
                 if pending is not None:
                     drain(pending)
