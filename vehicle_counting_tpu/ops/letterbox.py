@@ -112,6 +112,29 @@ def _gray_yuv():
     return int(g[0, 0]), int(g[2, 0]), int(g[2, 1])  # y, u, v
 
 
+_CV_POOL = None
+
+
+def _cv_pool():
+    """Shared thread pool for per-frame cv2 work (cv2 releases the GIL).
+
+    At YOLOv5s-640 the serial letterbox+I420 costs ~1.9 ms/frame — the same
+    order as the device step — so on multi-core hosts the conversion threads
+    out; on 1-CPU containers it stays serial (pool overhead only hurts).
+    """
+    global _CV_POOL
+    import os
+
+    n = min(8, os.cpu_count() or 1)
+    if n <= 1:
+        return None
+    if _CV_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _CV_POOL = ThreadPoolExecutor(n)
+    return _CV_POOL
+
+
 def host_letterbox_yuv420(frames, dst_hw: Tuple[int, int], content_only: bool = False):
     """Letterbox + RGB->I420 on host: [B, dh*3/2, dw] uint8.
 
@@ -130,22 +153,37 @@ def host_letterbox_yuv420(frames, dst_hw: Tuple[int, int], content_only: bool = 
 
     b, sh, sw, c = frames.shape
     dh, dw = dst_hw
+    pool = _cv_pool()
     if content_only:
         gain, pad_x, pad_y, new_w, new_h = letterbox_params((sh, sw), (dh, dw))
         top, ch = content_rows((sh, sw), (dh, dw))
         left = int(round(pad_x - 0.1))
         out = np.empty((b, ch * 3 // 2, dw), np.uint8)
-        strip = np.full((ch, dw, c), int(PAD_VALUE), np.uint8)
-        for i in range(b):
+
+        def one(i):
+            strip = np.full((ch, dw, c), int(PAD_VALUE), np.uint8)
             r = cv2.resize(frames[i], (new_w, new_h), interpolation=cv2.INTER_LINEAR)
             strip[:new_h, left : left + new_w] = r
             out[i] = cv2.cvtColor(strip, cv2.COLOR_RGB2YUV_I420)
+
+        if pool is None:
+            for i in range(b):
+                one(i)
+        else:
+            list(pool.map(one, range(b)))
         return out
 
     lb = host_letterbox(frames, dst_hw)
     out = np.empty((b, dh * 3 // 2, dw), np.uint8)
-    for i in range(b):
+
+    def one_full(i):
         out[i] = cv2.cvtColor(lb[i], cv2.COLOR_RGB2YUV_I420)
+
+    if pool is None:
+        for i in range(b):
+            one_full(i)
+    else:
+        list(pool.map(one_full, range(b)))
     return out
 
 
