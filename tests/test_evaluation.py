@@ -67,3 +67,55 @@ def test_duplicate_detection_one_tp():
     m = evaluate_detections(pred, gt, num_classes=1)
     assert m["precision"] == pytest.approx(0.5)
     assert m["recall"] == 1.0
+
+
+def test_evaluation_cli_csv_and_coco(tmp_path):
+    """python -m vehicle_counting_tpu.evaluation --pred csv --gt json/csv."""
+    import json
+
+    import pandas as pd
+
+    from vehicle_counting_tpu.evaluation import main
+
+    # GT: 2 frames, 2 boxes each; preds: perfect on frame 1, one miss + one
+    # false positive on frame 2
+    gt_rows = {"frame_id": [], "x1": [], "y1": [], "x2": [], "y2": [], "label": []}
+    for fid, boxes in [(1, [(10, 10, 60, 60, 0), (100, 100, 160, 150, 1)]),
+                       (2, [(20, 20, 80, 90, 0), (200, 50, 260, 100, 1)])]:
+        for x1, y1, x2, y2, c in boxes:
+            gt_rows["frame_id"].append(fid)
+            gt_rows["x1"].append(x1); gt_rows["y1"].append(y1)
+            gt_rows["x2"].append(x2); gt_rows["y2"].append(y2)
+            gt_rows["label"].append(c)
+    gt_csv = tmp_path / "gt.csv"
+    pd.DataFrame(gt_rows).to_csv(gt_csv, index=False)
+
+    pred = pd.DataFrame({
+        "frame_id": [1, 1, 2, 2],
+        "x1": [10, 100, 20, 300], "y1": [10, 100, 20, 300],
+        "x2": [60, 160, 80, 360], "y2": [60, 150, 90, 350],
+        "score": [0.9, 0.8, 0.85, 0.7],
+        "label": [0, 1, 0, 1],
+    })
+    pred_csv = tmp_path / "pred.csv"
+    pred.to_csv(pred_csv, index=False)
+
+    m = main(["--pred", str(pred_csv), "--gt", str(gt_csv), "--num_classes", "2"])
+    assert 0 < m["precision"] < 1 and 0 < m["recall"] < 1
+    assert m["mAP50"] > 0.4
+
+    # same GT as COCO json must give identical metrics
+    coco = {
+        "images": [{"id": 1}, {"id": 2}],
+        "annotations": [
+            {"image_id": fid, "category_id": c, "bbox": [x1, y1, x2 - x1, y2 - y1]}
+            for fid, x1, y1, x2, y2, c in zip(
+                gt_rows["frame_id"], gt_rows["x1"], gt_rows["y1"],
+                gt_rows["x2"], gt_rows["y2"], gt_rows["label"])
+        ],
+        "categories": [{"id": 0}, {"id": 1}],
+    }
+    gt_json = tmp_path / "gt.json"
+    gt_json.write_text(json.dumps(coco))
+    m2 = main(["--pred", str(pred_csv), "--gt", str(gt_json), "--num_classes", "2"])
+    assert m == m2

@@ -124,3 +124,85 @@ def evaluate_detections(
         "mAP50": map50,
         "mAP50_95": map_all,
     }
+
+
+# ---------------------------------------------------------------------------
+# CLI: score a detections CSV (run.py --detect_only output) against ground
+# truth, producing the reference's published metric set (README.md:50-53).
+# ---------------------------------------------------------------------------
+
+def _load_pred_csv(path: str) -> Dict[int, Dict]:
+    """{frame_id: {'boxes','classes','scores'}} from the detect-only CSV
+    (columns: frame_id, x1, y1, x2, y2, score, label)."""
+    import pandas as pd
+
+    df = pd.read_csv(path)
+    out: Dict[int, Dict] = {}
+    for fid, g in df.groupby("frame_id"):
+        out[int(fid)] = {
+            "boxes": g[["x1", "y1", "x2", "y2"]].to_numpy(np.float64),
+            "classes": g["label"].to_numpy(np.int64),
+            "scores": (
+                g["score"].to_numpy(np.float64)
+                if "score" in g
+                else np.ones(len(g))
+            ),
+        }
+    return out
+
+
+def _load_gt(path: str) -> Dict[int, Dict]:
+    """Ground truth from COCO json (image id keyed, xywh bboxes) or from a
+    CSV with the same columns as the detections file (score optional)."""
+    if path.endswith(".json"):
+        import json
+
+        with open(path) as f:
+            coco = json.load(f)
+        out = {int(img["id"]): {"boxes": [], "classes": []} for img in coco["images"]}
+        for ann in coco["annotations"]:
+            x, y, w, h = ann["bbox"]
+            rec = out[int(ann["image_id"])]
+            rec["boxes"].append([x, y, x + w, y + h])
+            rec["classes"].append(int(ann["category_id"]))
+        return {
+            k: {
+                "boxes": np.asarray(v["boxes"], np.float64).reshape(-1, 4),
+                "classes": np.asarray(v["classes"], np.int64),
+            }
+            for k, v in out.items()
+        }
+    return _load_pred_csv(path)
+
+
+def main(argv=None) -> Dict[str, float]:
+    import argparse
+    import json as _json
+
+    ap = argparse.ArgumentParser(
+        description="P/R/mAP50/mAP50:95 for a detections CSV vs ground truth"
+    )
+    ap.add_argument("--pred", required=True, help="detections CSV (run.py --detect_only)")
+    ap.add_argument("--gt", required=True, help="ground truth: COCO json or CSV")
+    ap.add_argument("--num_classes", type=int, default=4)
+    ap.add_argument("--conf", type=float, default=0.25, help="P/R reporting confidence")
+    args = ap.parse_args(argv)
+
+    preds = _load_pred_csv(args.pred)
+    gts = _load_gt(args.gt)
+    empty_p = {"boxes": np.zeros((0, 4)), "classes": np.zeros(0, np.int64),
+               "scores": np.zeros(0)}
+    empty_g = {"boxes": np.zeros((0, 4)), "classes": np.zeros(0, np.int64)}
+    frame_ids = sorted(set(preds) | set(gts))
+    metrics = evaluate_detections(
+        [preds.get(f, empty_p) for f in frame_ids],
+        [gts.get(f, empty_g) for f in frame_ids],
+        num_classes=args.num_classes,
+        conf_for_pr=args.conf,
+    )
+    print(_json.dumps({k: round(v, 5) for k, v in metrics.items()}))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
