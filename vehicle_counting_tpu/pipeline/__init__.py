@@ -333,20 +333,35 @@ class CountingPipeline:
         import pandas as pd
 
         from vehicle_counting_tpu.models.detector import detect_step
-        from vehicle_counting_tpu.ops.letterbox import host_letterbox_yuv420, yuv420_to_rgb
+        from vehicle_counting_tpu.ops.letterbox import (
+            content_upload_exact,
+            host_letterbox_yuv420,
+            yuv420_content_to_full,
+            yuv420_to_rgb,
+        )
 
         cam_name = self.get_cam_name(video_path)
         reader = VideoReader(video_path, batch_size=self.batch_size)
         info = reader.video_info
+        src_hw = (info["height"], info["width"])
+        content_only = content_upload_exact(src_hw, self.image_size)
         rows = {k: [] for k in ("frame_id", "x1", "y1", "x2", "y2", "score", "label")}
         lut = np.asarray(self.class_lut)
         num_frames = 0
         t0 = time.perf_counter()
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=())
+        def to_rgb(yuv_dev):
+            if content_only:
+                yuv_dev = yuv420_content_to_full(yuv_dev, src_hw, self.image_size)
+            return yuv420_to_rgb(yuv_dev).astype(jnp.uint8)
+
         for frames, frame_ids, valid in reader.batches():
-            yuv = host_letterbox_yuv420(frames, self.image_size)
-            imgs = yuv420_to_rgb(jax.device_put(jnp.asarray(yuv)))
+            yuv = host_letterbox_yuv420(frames, self.image_size, content_only=content_only)
+            imgs = to_rgb(jax.device_put(jnp.asarray(yuv)))
             out = detect_step(
-                self.yolo_params, imgs.astype(jnp.uint8),
+                self.yolo_params, imgs,
                 cfg=self.ycfg, image_size=self.image_size,
                 src_hw=(info["height"], info["width"]),
                 conf_thres=self.conf_thres, iou_thres=self.iou_thres,
