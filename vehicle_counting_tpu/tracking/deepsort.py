@@ -257,7 +257,10 @@ def deepsort_frame_core(
     # ms/frame) — the Pallas solves are sequential on the single tensorcore
     # either way, and scan keeps the lax.cond skips (empty classes, empty
     # cascade levels) as real control flow instead of vmap's executed-both-
-    # ways selects. See ROADMAP 'measured negative results'.
+    # ways selects. Hoisting tracker_precompute out of the scan as batched
+    # [C, ...] ops was ALSO slower (0.82/1.08 vs 0.74/1.01 ms/frame churn/
+    # steady) — XLA overlaps the per-class cost math with the solver better
+    # inside the scan. See ROADMAP 'measured negative results'.
     def scan_body(_, xs):
         st, t, s, f, v, pres, ordr = xs
         # __wrapped__: avoid a nested pjit inside the scan body (leaner

@@ -180,6 +180,28 @@ def _match_stage(cost, rows, det_free, track_col, threshold, row_order, det_key,
 from functools import partial
 
 
+def tracker_precompute(st: TrackerState, tlwh, feat, det_valid, hp: TrackerParams):
+    """Association-independent per-frame math: predict + gated cost matrix.
+
+    Everything here depends only on the incoming state and detections — not
+    on any matching decision — so multi-class callers vmap it over the class
+    axis BEFORE the sequential class scan: the appearance einsum and the
+    Kalman predict/gating run as single [C, ...] batched ops (better MXU
+    tiling, C times fewer sequential dispatches) instead of per class inside
+    the scan. Returns (pred_mean, pred_cov, gated_cost [K, D]).
+    """
+    active = st.state > EMPTY
+    pm, pc = kalman.predict(st.mean, st.cov)
+    mean = jnp.where(active[:, None], pm, st.mean)
+    cov = jnp.where(active[:, None, None], pc, st.cov)
+    det_xyah = tlwh_to_xyah(tlwh)
+    app = _appearance_cost(st, feat, hp)                   # [K, D]
+    maha = kalman.gating_distance(mean, cov, det_xyah)     # [K, D]
+    gated = jnp.where(maha > kalman.CHI2INV95_4DOF, INFTY_COST, app)
+    gated = jnp.where(det_valid[None, :], gated, BIG)
+    return mean, cov, gated
+
+
 @partial(jax.jit, static_argnames=("hp",))
 def tracker_step(
     st: TrackerState,
@@ -192,6 +214,7 @@ def tracker_step(
     height,
     present=None,
     det_order=None,
+    pre=None,
 ) -> Tuple[TrackerState, TrackerOutputs]:
     """One frame for one class. Detection capacity equals track capacity K.
 
@@ -206,6 +229,10 @@ def tracker_step(
     detection LIST — the SORT-NMS pick order, i.e. descending score with
     ties to the higher index (preprocessing.py:54-56). It drives Hungarian
     column order and new-track id assignment. Defaults to slot order.
+
+    `pre`: optional (pred_mean, pred_cov, gated_cost) from
+    `tracker_precompute` — lets multi-class callers batch that math over
+    classes; computed here when absent.
     """
     k = hp.capacity
     if present is None:
@@ -224,31 +251,25 @@ def tracker_step(
 
     def run(st_):
         return _tracker_step_impl(
-            st_, tlwh, conf, feat, det_valid, hp, width, height, det_order
+            st_, tlwh, conf, feat, det_valid, hp, width, height, det_order, pre
         )
 
     return jax.lax.cond(present, run, no_dets, st)
 
 
-def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height, det_order):
+def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height, det_order, pre=None):
     k = hp.capacity
     active = st.state > EMPTY
 
-    # ---- predict (tracker.py:50-56: every live track ages) -----------------
-    pm, pc = kalman.predict(st.mean, st.cov)
-    mean = jnp.where(active[:, None], pm, st.mean)
-    cov = jnp.where(active[:, None, None], pc, st.cov)
+    # ---- predict + association costs (tracker.py:50-56; precomputable) -----
+    if pre is None:
+        pre = tracker_precompute(st, tlwh, feat, det_valid, hp)
+    mean, cov, gated = pre
     age = st.age + active.astype(jnp.int32)
     tsu = st.tsu + active.astype(jnp.int32)
 
     det_xyah = tlwh_to_xyah(tlwh)
     f_n = feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
-
-    # ---- association costs (computed once; masks select per stage) ---------
-    app = _appearance_cost(st._replace(mean=mean), feat, hp)  # [K, D]
-    maha = kalman.gating_distance(mean, cov, det_xyah)        # [K, D]
-    gated = jnp.where(maha > kalman.CHI2INV95_4DOF, INFTY_COST, app)
-    gated = jnp.where(det_valid[None, :], gated, BIG)
 
     confirmed = st.state == CONFIRMED
 
