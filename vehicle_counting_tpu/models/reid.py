@@ -127,14 +127,14 @@ def _bn(x, p, s, train: bool, axes=(0, 1, 2)):
     return y, s
 
 
-def _basic_block(p, s, x, stride: int, train: bool):
-    y = conv2d(x, p["conv1"]["w"], stride=stride)
+def _basic_block(p, s, x, stride: int, train: bool, dtype=None):
+    y = conv2d(x, p["conv1"]["w"], stride=stride, dtype=dtype)
     y, s1 = _bn(y, p["bn1"], s["bn1"], train)
     y = jax.nn.relu(y)
-    y = conv2d(y, p["conv2"]["w"])
+    y = conv2d(y, p["conv2"]["w"], dtype=dtype)
     y, s2 = _bn(y, p["bn2"], s["bn2"], train)
     if "down" in p:
-        x = conv2d(x, p["down"]["w"], stride=stride, padding=0)
+        x = conv2d(x, p["down"]["w"], stride=stride, padding=0, dtype=dtype)
         x, sd = _bn(x, p["down"]["bn"], s["down"], train)
         new_s = {"bn1": s1, "bn2": s2, "down": sd}
     else:
@@ -150,14 +150,18 @@ def reid_forward(
     train: bool = False,
     reid: bool = True,
     dropout_key: Optional[jax.Array] = None,
+    dtype=None,
 ):
     """x: [B, H, W, 3] normalized crops. Returns (out, new_stats).
 
     reid=True  -> L2-normalized [B, 512] embeddings.
     reid=False -> [B, num_classes] logits (training head).
+    dtype: MXU compute dtype for the convs (e.g. bf16 on TPU, matching the
+    detector's AMP stance); accumulation and all BN/normalization math stay
+    f32. None = f32 throughout (the CPU-parity default).
     """
     new_stats: Dict[str, Any] = {}
-    y = conv2d(x, params["stem"]["w"]) + params["stem"]["b"]
+    y = conv2d(x, params["stem"]["w"], dtype=dtype) + params["stem"]["b"]
     y, new_stats["stem"] = _bn(y, params["stem"]["bn"], stats["stem"], train)
     y = jax.nn.relu(y)
     y = max_pool(y, 3, 2, 1)
@@ -166,7 +170,9 @@ def reid_forward(
         for bi in range(2):
             name = f"layer{si + 1}_{bi}"
             stride = 2 if (ds and bi == 0) else 1
-            y, new_stats[name] = _basic_block(params[name], stats[name], y, stride, train)
+            y, new_stats[name] = _basic_block(
+                params[name], stats[name], y, stride, train, dtype=dtype
+            )
 
     y = jax.lax.reduce_window(
         y, 0.0, jax.lax.add, (1, 4, 4, 1), (1, 1, 1, 1), "VALID"

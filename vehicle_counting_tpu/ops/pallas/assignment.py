@@ -39,15 +39,16 @@ def _lanes_for(s: int) -> int:
     return 128 * (-(-(s + 1) // 128))
 
 
-def _insert_rows_body(nr, load_cost_row_sum, s: int, lanes: int):
+def _insert_rows_body(nr, load_row, s: int, lanes: int):
     """Shared JV insertion: returns p [1, LANES] (col -> row, -1 free).
 
     Lane layout: lanes 0..S-1 are the S columns, lane S is the virtual root
     column, lanes > S are dead. All state lives in [1, LANES] vector tiles.
-    load_cost_row_sum(onehot [S,1]) -> [1, S]: the selected cost row.
+    load_row(i0) -> [1, LANES]: cost row i0 PRE-PADDED with +INF beyond
+    column S (callers pad the matrix once at launch, so the hot Dijkstra
+    iteration does no per-step pad).
     """
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)      # [1, L]
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)         # [S, 1]
     live = idx < s                                                 # real columns
 
     p0 = jnp.full((1, lanes), -1, jnp.int32)
@@ -66,21 +67,22 @@ def _insert_rows_body(nr, load_cost_row_sum, s: int, lanes: int):
         p = jnp.where(idx == s, i, p)
 
         def dij_cond(st):
-            _, _, _, _, j0, _ = st
+            _, _, _, _, j0, _, _ = st
             return pick_i32(p, j0) != -1
 
         def dij_body(st):
-            # `used` is an i32 0/1 mask: i1 vectors in while-loop carries do
-            # not legalize in Mosaic (scf.yield)
-            u_, v_, minv, way, j0, used_i = st
+            # `used`/`hit` are i32 0/1 masks: i1 vectors in while-loop carries
+            # do not legalize in Mosaic (scf.yield)
+            u_, v_, minv, way, j0, used_i, hit_i = st
             used_i = jnp.maximum(used_i, (idx == j0).astype(jnp.int32))
             used = used_i != 0
             i0 = pick_i32(p, j0)
-            # cost row i0 spread onto the lane layout (cols >= S get +INF)
-            cost_row = load_cost_row_sum(ridx == i0)  # [1, S]
-            cost_row = jax.lax.pad(
-                cost_row, _INF, ((0, 0, 0), (0, lanes - s, 0))
-            )  # [1, L]
+            # hit[r] = some used column is assigned to row r. p is constant
+            # during Dijkstra, so the only row that becomes hit this step is
+            # i0 = p[j0] — maintained incrementally instead of rebuilding an
+            # [L, L] (p == idx) comparison every iteration.
+            hit_i = jnp.maximum(hit_i, (idx == i0).astype(jnp.int32))
+            cost_row = load_row(i0)  # [1, L], +INF beyond col S
             cur = cost_row - pick_f32(u_, i0) - v
             better = live & (~used) & (cur < minv)
             minv = jnp.where(better, cur, minv)
@@ -90,12 +92,10 @@ def _insert_rows_body(nr, load_cost_row_sum, s: int, lanes: int):
             # FIRST minimum wins (scipy tie-breaking); Mosaic's argmin
             # returns the LAST tied index, so select explicitly
             j1 = jnp.min(jnp.where(masked == delta, idx, lanes)).astype(jnp.int32)
-            # u[p[j]] += delta for used cols j: one-hot row match, no scatter
-            hit = jnp.any((p == idx.reshape(lanes, 1)) & used, axis=1).reshape(1, lanes)
-            u_ = u_ + jnp.where(hit, delta, 0.0)
+            u_ = u_ + jnp.where(hit_i != 0, delta, 0.0)
             v_ = v_ - jnp.where(used, delta, 0.0)
             minv = jnp.where(used | ~live, minv, minv - delta)
-            return u_, v_, minv, way, j1, used_i
+            return u_, v_, minv, way, j1, used_i, hit_i
 
         st0 = (
             u,
@@ -104,8 +104,9 @@ def _insert_rows_body(nr, load_cost_row_sum, s: int, lanes: int):
             jnp.full((1, lanes), s, jnp.int32),
             jnp.int32(s),
             jnp.zeros((1, lanes), jnp.int32),
+            jnp.zeros((1, lanes), jnp.int32),
         )
-        u, v, minv, way, j0, used = jax.lax.while_loop(dij_cond, dij_body, st0)
+        u, v, minv, way, j0, used, _ = jax.lax.while_loop(dij_cond, dij_body, st0)
 
         def aug_cond(st):
             j0_, _ = st
@@ -125,14 +126,12 @@ def _insert_rows_body(nr, load_cost_row_sum, s: int, lanes: int):
 
 
 def _insert_rows_kernel(nr_ref, cost_ref, p_out_ref):
-    """Single-problem kernel: cost [S, S], nr in SMEM, p_out [1, LANES]."""
+    """Single-problem kernel: cost [S, LANES] (+INF-padded), nr in SMEM."""
     s = cost_ref.shape[0]
     lanes = p_out_ref.shape[1]
 
-    def load_row(onehot_s1):
-        return jnp.sum(
-            jnp.where(onehot_s1, cost_ref[:, :], 0.0), axis=0, keepdims=True
-        )
+    def load_row(i0):
+        return cost_ref[pl.ds(i0, 1), :]  # dynamic sublane slice, [1, LANES]
 
     p_out_ref[...] = _insert_rows_body(nr_ref[0], load_row, s, lanes)
 
@@ -140,21 +139,25 @@ def _insert_rows_kernel(nr_ref, cost_ref, p_out_ref):
 def _insert_rows_kernel_grid(nr_ref, cost_ref, p_out_ref):
     """Grid-batched kernel: one JV solve per grid step (class), one launch.
 
-    cost_ref block [1, S, S] (class i's matrix), nr_ref SMEM [C] indexed by
-    program_id, p_out block [1, 8, LANES] (8 sublanes for tile alignment;
-    the result is replicated across them and row 0 is read back).
+    cost_ref block [1, S, LANES] (class i's +INF-padded matrix), nr_ref SMEM
+    [C] indexed by program_id, p_out block [1, 8, LANES] (8 sublanes for tile
+    alignment; the result is replicated across them and row 0 is read back).
     """
     s = cost_ref.shape[1]
     lanes = p_out_ref.shape[2]
     nr = nr_ref[pl.program_id(0)]
 
-    def load_row(onehot_s1):
-        return jnp.sum(
-            jnp.where(onehot_s1, cost_ref[0, :, :], 0.0), axis=0, keepdims=True
-        )
+    def load_row(i0):
+        return cost_ref[0, pl.ds(i0, 1), :]
 
     p = _insert_rows_body(nr, load_row, s, lanes)  # [1, LANES]
     p_out_ref[...] = jnp.broadcast_to(p, (1, 8, lanes))
+
+
+def _pad_cost(cost: jax.Array, s: int, lanes: int) -> jax.Array:
+    """+INF-pad the column axis to the lane count, once, outside the kernel."""
+    pad = [(0, 0)] * (cost.ndim - 1) + [(0, lanes - s)]
+    return jnp.pad(cost.astype(jnp.float32), pad, constant_values=_INF)
 
 
 def _insert_rows_pallas_base(cost: jax.Array, nr, *, interpret: bool = False) -> jax.Array:
@@ -169,7 +172,7 @@ def _insert_rows_pallas_base(cost: jax.Array, nr, *, interpret: bool = False) ->
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(jnp.asarray([nr], jnp.int32), cost.astype(jnp.float32))
+    )(jnp.asarray([nr], jnp.int32), _pad_cost(cost, s, lanes))
     return p[0, : s + 1]
 
 
@@ -183,11 +186,11 @@ def _insert_rows_pallas_batched(costs: jax.Array, n_ins, *, interpret: bool = Fa
         out_shape=jax.ShapeDtypeStruct((c, 8, lanes), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, s, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(n_ins.astype(jnp.int32), costs.astype(jnp.float32))
+    )(n_ins.astype(jnp.int32), _pad_cost(costs, s, lanes))
     return p[:, 0, : s + 1]
 
 

@@ -116,9 +116,11 @@ def pipeline_batch_step(
     # valid crop is embedded — reference semantics (deep_sort.py:119-129) —
     # while crowded frames borrow batch slots from quiet ones.
     out_hw = crop_kw.pop("out_hw")
+    # ReID convs share the detector's MXU dtype (bf16 on TPU, f32 in CPU
+    # parity tests); accumulation + normalization stay f32 (models/reid.py).
     feats = embed_detections_batch(
         crop_source, det["boxes"], det_valid,
-        reid_params, reid_stats, hp, **crop_kw,
+        reid_params, reid_stats, hp, dtype=dtype, **crop_kw,
     )  # [B, N, F]
 
     def body(states_, inp):

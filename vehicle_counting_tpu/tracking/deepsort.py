@@ -37,7 +37,10 @@ from vehicle_counting_tpu.tracking.tracker import (
     TrackerParams,
     TrackerState,
     init_state,
+    tracker_feature_post,
+    tracker_precompute,
     tracker_step,
+    tracker_step_core,
 )
 
 
@@ -48,6 +51,15 @@ class DeepSortParams(NamedTuple):
     num_classes: int
     min_confidence: float = 0.25  # MIN_CONFIDENCE
     nms_max_overlap: float = 0.5  # NMS_MAX_OVERLAP
+    class_mode: str = "scan"      # "scan": sequential per-class association
+                                  # steps with cond skips (feature buffers
+                                  # hoisted out either way). Measured on v5e
+                                  # steady-state: scan 1.45/0.87 ms/frame vs
+                                  # "batched" (class-vmapped step, one grid
+                                  # solver launch per stage) 1.52/1.62 at
+                                  # 4-class/1-class 30-det loads — vmapped
+                                  # scatters in the association core negate
+                                  # the launch savings.
     max_embed: int = 64           # ReID crops per CNN forward (chunk size).
                                   # ALL valid detections are embedded, like
                                   # the reference (deep_sort.py:119-129):
@@ -148,6 +160,7 @@ def embed_detections(
     hp: DeepSortParams,
     crop_gain: float = 1.0,
     crop_pad: Tuple[float, float] = (0.0, 0.0),
+    dtype=None,
 ) -> jax.Array:
     """Crop + ReID embed for ALL of one frame's valid detections: [N, F].
 
@@ -163,7 +176,7 @@ def embed_detections(
         return gather_crops(frame, boxes_p[sel], v)
 
     def embed_chunk(crops):
-        return reid_forward(reid_params, reid_stats, crops, train=False, reid=True)
+        return reid_forward(reid_params, reid_stats, crops, train=False, reid=True, dtype=dtype)
 
     return _embed_compacted_chunks(gather_chunk, embed_chunk, valid, hp.max_embed)
 
@@ -177,6 +190,7 @@ def embed_detections_batch(
     hp: DeepSortParams,
     crop_gain: float = 1.0,
     crop_pad: Tuple[float, float] = (0.0, 0.0),
+    dtype=None,
 ) -> jax.Array:
     """Batch-global chunked ReID embed: [B, N, F], every valid det embedded.
 
@@ -196,7 +210,7 @@ def embed_detections_batch(
         return gather_crops_batch(frames, fidx[sel], fb[sel], v)
 
     def embed_chunk(crops):
-        return reid_forward(reid_params, reid_stats, crops, train=False, reid=True)
+        return reid_forward(reid_params, reid_stats, crops, train=False, reid=True, dtype=dtype)
 
     feats = _embed_compacted_chunks(gather_chunk, embed_chunk, fv, hp.max_embed)
     return feats.reshape(b, n, -1)
@@ -253,30 +267,68 @@ def deepsort_frame_core(
     width = jnp.int32(w)
     height = jnp.int32(h)
 
-    # scan (not vmap) over classes: measured FASTER on v5e (0.74 vs 0.89
-    # ms/frame) — the Pallas solves are sequential on the single tensorcore
-    # either way, and scan keeps the lax.cond skips (empty classes, empty
-    # cascade levels) as real control flow instead of vmap's executed-both-
-    # ways selects. Hoisting tracker_precompute out of the scan as batched
-    # [C, ...] ops was ALSO slower (0.82/1.08 vs 0.74/1.01 ms/frame churn/
-    # steady) — XLA overlaps the per-class cost math with the solver better
-    # inside the scan. See ROADMAP 'measured negative results'.
-    def scan_body(_, xs):
-        st, t, s, f, v, pres, ordr = xs
-        # __wrapped__: avoid a nested pjit inside the scan body (leaner
-        # lowering; the enclosing program is already jitted)
-        st_new, out = tracker_step.__wrapped__(
-            st, t, s, f, v, hp.tracker, width, height, present=pres, det_order=ordr
-        )
-        return None, (st_new, out)
+    if hp.class_mode == "batched":
+        # ONE class-batched tracker step: lifecycle/Kalman/cost math runs as
+        # [C, ...] batched ops and every matching stage's Hungarian solves
+        # collapse into a single grid-batched Pallas launch (the per-launch
+        # fixed cost ~60 us dominates these tiny solves on v5e, and the
+        # per-class XLA op stream is likewise fixed-cost-bound). The
+        # reference's per-class skip semantics survive exactly: vmap turns
+        # the present/needed-level conds into masked selects, and absent
+        # classes' solves degenerate to nc=0 (zero insertions).
+        st_new, outputs = jax.vmap(
+            lambda st, t, s, f, v, pres, ordr: tracker_step.__wrapped__(
+                st, t, s, f, v, hp.tracker, width, height,
+                present=pres, det_order=ordr,
+            )
+        )(states, ct, cs, cf, cv, present, corder)
+        return st_new, outputs
 
-    _, (new_states, outputs) = jax.lax.scan(
-        scan_body, None, (states, ct, cs, cf, cv, present, corder)
+    # scan over classes, SMALL state only: the association core runs
+    # per class under the scan (cond skips for empty classes / cascade
+    # levels stay real control flow), while everything touching the big
+    # feature buffers is hoisted out and batched over [C, ...]:
+    #   PRE  — tracker_precompute vmapped (appearance einsum, Kalman
+    #          predict + Mahalanobis gate as single [C, ...] ops);
+    #   POST — tracker_feature_post once (pending append / reset /
+    #          initiate / gallery-ring flush as gather+where ops).
+    # Carrying the [K, budget, F] gallery through the scan cost a
+    # dynamic-slice + copy + update of the whole buffer per class per
+    # frame — ~0.3 ms/frame of pure HBM traffic at 4 classes on v5e.
+    pre = jax.vmap(
+        lambda st, t, f, v: tracker_precompute(st, t, f, v, hp.tracker)
+    )(states, ct, cf, cv)
+
+    small = states._replace(
+        gallery=None, pending=None, gallery_count=None, pending_count=None
+    )
+
+    def scan_body(_, xs):
+        st, t, s, v, pres, ordr, pre_c = xs
+        st_new, out, fl = tracker_step_core(
+            st, pre_c, t, s, v, hp.tracker, width, height, pres, ordr
+        )
+        return None, (st_new, out, fl)
+
+    _, (new_small, outputs, flags) = jax.lax.scan(
+        scan_body, None, (small, ct, cs, cv, present, corder, pre)
+    )
+
+    f_n = cf / jnp.maximum(jnp.linalg.norm(cf, axis=-1, keepdims=True), 1e-12)
+    gallery, pending, gallery_count, pending_count = tracker_feature_post(
+        states.gallery, states.pending, states.gallery_count,
+        states.pending_count, flags, f_n, hp.tracker,
+    )
+    new_states = new_small._replace(
+        gallery=gallery,
+        pending=pending,
+        gallery_count=gallery_count,
+        pending_count=pending_count,
     )
     return new_states, outputs
 
 
-@partial(jax.jit, static_argnames=("hp", "crop_gain", "crop_pad", "out_hw"))
+@partial(jax.jit, static_argnames=("hp", "crop_gain", "crop_pad", "out_hw", "dtype"))
 def deepsort_frame(
     states: TrackerState,
     frame: jax.Array,     # [H, W, 3] uint8 RGB (crop source; see crop_gain)
@@ -290,6 +342,7 @@ def deepsort_frame(
     crop_gain: float = 1.0,
     crop_pad: Tuple[float, float] = (0.0, 0.0),
     out_hw: Tuple[int, int] = None,
+    dtype=None,
 ) -> Tuple[TrackerState, TrackerOutputs]:
     """One frame through all per-class trackers (crop+embed included).
 
@@ -304,6 +357,6 @@ def deepsort_frame(
         out_hw = (frame.shape[0], frame.shape[1])
     feats = embed_detections(
         frame, boxes, valid, reid_params, reid_stats, hp,
-        crop_gain=crop_gain, crop_pad=crop_pad,
+        crop_gain=crop_gain, crop_pad=crop_pad, dtype=dtype,
     )
     return deepsort_frame_core(states, feats, boxes, scores, classes, valid, hp, out_hw)

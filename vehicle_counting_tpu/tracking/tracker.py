@@ -92,6 +92,23 @@ class TrackerOutputs(NamedTuple):
     mask: jax.Array    # [K] bool
 
 
+class TrackerFlags(NamedTuple):
+    """Per-slot association outcome — everything `tracker_feature_post` needs
+    to apply the frame's gallery/pending mutations OUTSIDE the association
+    step. Multi-class callers scan the (small) association core over classes
+    and run the feature-buffer update once, batched [C, ...]: carrying the
+    [K, budget, F] gallery through the class scan costs a dynamic-slice +
+    copy + dynamic-update-slice of the whole buffer per class per frame
+    (~0.3 ms/frame at 4 classes on v5e — the dominant tracker cost before
+    this split)."""
+
+    matched: jax.Array     # [K] bool: slot matched a detection this frame
+    gcol: jax.Array        # [K] i32: matched detection index (0 if unmatched)
+    delete: jax.Array      # [K] bool: track deleted this frame
+    src: jax.Array         # [K] i32: detection initiating this slot (K = none)
+    conf_after: jax.Array  # [K] bool: state == CONFIRMED after lifecycle
+
+
 def init_state(hp: TrackerParams) -> TrackerState:
     k, b, f, p = hp.capacity, hp.budget, hp.feat_dim, hp.pending_cap
     mean = jnp.zeros((k, 8), jnp.float32).at[:, 3].set(1.0)  # h=1 keeps cholesky finite
@@ -257,19 +274,22 @@ def tracker_step(
     return jax.lax.cond(present, run, no_dets, st)
 
 
-def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height, det_order, pre=None):
+def _tracker_core(st, pre, tlwh, conf, det_valid, hp, width, height, det_order):
+    """Association + lifecycle on the SMALL state only.
+
+    Returns (new_state, outputs, flags). gallery/pending/*_count leaves pass
+    through UNTOUCHED (they may be None for scan callers that carry them
+    outside); apply `tracker_feature_post` with the returned flags to commit
+    the frame's feature-buffer mutations.
+    """
     k = hp.capacity
     active = st.state > EMPTY
 
-    # ---- predict + association costs (tracker.py:50-56; precomputable) -----
-    if pre is None:
-        pre = tracker_precompute(st, tlwh, feat, det_valid, hp)
     mean, cov, gated = pre
     age = st.age + active.astype(jnp.int32)
     tsu = st.tsu + active.astype(jnp.int32)
 
     det_xyah = tlwh_to_xyah(tlwh)
-    f_n = feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
 
     confirmed = st.state == CONFIRMED
 
@@ -281,15 +301,22 @@ def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height, det_o
     # starts at 1 so any demotion sorts last.
     det_key0 = det_order
 
-    # early exit: level L matches tracks with tsu == 1 + L, so only
-    # max(tsu of confirmed tracks) levels can ever have rows — usually 1.
-    needed_levels = jnp.minimum(
-        jnp.max(jnp.where(confirmed, tsu, 0)), hp.max_age
-    )
+    # level L matches tracks with tsu == 1 + L. Empty levels are no-ops in
+    # the reference too (matching_cascade's `continue` when no tracks sit at
+    # a level, linear_assignment.py:133-135), so iterate ONLY the levels
+    # where some confirmed track actually lives: start at min(tsu) - 1 and
+    # jump to the next occupied level each step. With spread track ages the
+    # naive level+1 walk costs ~2-4 us of loop control per EMPTY level on
+    # TPU (while-cond reduce + skipped-cond overhead), up to max_age levels.
+    imax = jnp.iinfo(jnp.int32).max
+    lvl_of = jnp.where(
+        confirmed & (tsu <= hp.max_age), tsu - 1, imax
+    )  # each confirmed track's cascade level (cascade depth = max_age)
+    first_level = jnp.min(lvl_of)
 
     def level_cond(carry):
         level, det_free_, _, _ = carry
-        return (level < needed_levels) & jnp.any(det_free_)
+        return (level != imax) & jnp.any(det_free_)
 
     def level_body(carry):
         level, det_free_, track_col_, det_key_ = carry
@@ -298,10 +325,11 @@ def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height, det_o
             gated, rows, det_free_, track_col_, hp.max_dist,
             st.track_id, det_key_, 1 + level,
         )
-        return level + 1, det_free_, track_col_, det_key_
+        next_level = jnp.min(jnp.where(lvl_of > level, lvl_of, imax))
+        return next_level, det_free_, track_col_, det_key_
 
     _, det_free, track_col, det_key = jax.lax.while_loop(
-        level_cond, level_body, (jnp.int32(0), det_free0, track_col0, det_key0)
+        level_cond, level_body, (first_level, det_free0, track_col0, det_key0)
     )
 
     # ---- IoU stage (tracker.py:117-127) -------------------------------------
@@ -328,15 +356,6 @@ def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height, det_o
     tsu = jnp.where(matched, 0, tsu)
     last_conf = jnp.where(matched, conf[gcol], st.last_conf)
 
-    # pending feature append for matched tracks
-    pend_pos = jnp.minimum(st.pending_count, hp.pending_cap - 1)
-    pending = st.pending.at[jnp.arange(k), pend_pos].set(
-        jnp.where(matched[:, None], f_n[gcol], st.pending[jnp.arange(k), pend_pos])
-    )
-    pending_count = jnp.where(
-        matched, jnp.minimum(st.pending_count + 1, hp.pending_cap), st.pending_count
-    )
-
     state = st.state
     state = jnp.where((state == TENTATIVE) & (hits >= hp.n_init), CONFIRMED, state)
 
@@ -344,8 +363,6 @@ def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height, det_o
     missed = active & ~matched
     delete = (missed & (st.state == TENTATIVE)) | (missed & (tsu > hp.max_age))
     state = jnp.where(delete, EMPTY, state)
-    gallery_count = jnp.where(delete, 0, st.gallery_count)
-    pending_count = jnp.where(delete, 0, pending_count)
 
     # ---- initiate new tracks from unmatched detections ----------------------
     unmatched_det = det_valid & det_free
@@ -373,29 +390,16 @@ def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height, det_o
     age = age.at[target].set(1, mode="drop")
     tsu = tsu.at[target].set(0, mode="drop")
     last_conf = last_conf.at[target].set(conf, mode="drop")
-    gallery_count = gallery_count.at[target].set(0, mode="drop")
-    pending = pending.at[target, 0].set(f_n, mode="drop")
-    pending_count = pending_count.at[target].set(1, mode="drop")
+    # invert det->slot into slot->det for the feature-buffer post pass
+    src = jnp.full((k,), k, jnp.int32).at[target].set(
+        jnp.arange(k, dtype=jnp.int32), mode="drop"
+    )
 
     num_new = jnp.sum(place.astype(jnp.int32))
     next_id = st.next_id + num_new
     overflow = st.overflow + jnp.sum((unmatched_det & ~place).astype(jnp.int32))
 
-    # ---- gallery flush for confirmed tracks (tracker.py:81-91) -------------
-    gallery = st.gallery
-    conf_mask = state == CONFIRMED
-    b = hp.budget
-    for i in range(hp.pending_cap):
-        put = conf_mask & (i < pending_count)
-        pos = (gallery_count + i) % b
-        cur = gallery[jnp.arange(gallery.shape[0]), pos]
-        gallery = gallery.at[jnp.arange(gallery.shape[0]), pos].set(
-            jnp.where(put[:, None], pending[:, i], cur)
-        )
-    gallery_count = jnp.where(conf_mask, gallery_count + pending_count, gallery_count)
-    pending_count = jnp.where(conf_mask, 0, pending_count)
-
-    new_state = TrackerState(
+    new_state = st._replace(
         mean=mean,
         cov=cov,
         track_id=track_id,
@@ -403,13 +407,16 @@ def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height, det_o
         hits=hits,
         age=age,
         tsu=tsu,
-        gallery=gallery,
-        gallery_count=gallery_count,
-        pending=pending,
-        pending_count=pending_count,
         last_conf=last_conf,
         next_id=next_id,
         overflow=overflow,
+    )
+    flags = TrackerFlags(
+        matched=matched,
+        gcol=gcol,
+        delete=delete,
+        src=src,
+        conf_after=state == CONFIRMED,
     )
 
     # ---- outputs (deep_sort.py:45-59) ---------------------------------------
@@ -425,4 +432,127 @@ def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height, det_o
         scores=last_conf * out_mask,
         mask=out_mask,
     )
-    return new_state, outputs
+    return new_state, outputs, flags
+
+
+def tracker_feature_post(gallery, pending, gallery_count, pending_count, flags, f_n, hp):
+    """Commit the frame's gallery/pending mutations from association flags.
+
+    Replays, in order, exactly what the reference does around Tracker.update
+    (tracker.py:81-91, track.py:129-148): (1) matched tracks append their
+    detection's feature to the pending buffer, (2) deleted tracks reset both
+    buffers, (3) newly initiated slots start pending = [feature], (4)
+    confirmed tracks flush pending into the gallery ring (nn_matching
+    partial_fit, "last budget samples win"). All steps are gather/where ops
+    with arbitrary leading batch dims — multi-class callers run this ONCE
+    batched [C, ...] after the per-class association scan; no scatters, so
+    it also vmaps cleanly.
+
+    Args: gallery [..., K, B, F], pending [..., K, P, F], counts [..., K],
+    flags leaves [..., K], f_n [..., D, F] L2-normalized detection features.
+    """
+    p_cap, b = hp.pending_cap, hp.budget
+    k = gallery.shape[-3]
+    iota_p = jnp.arange(p_cap, dtype=jnp.int32)
+
+    # (1) append matched features at min(count, P-1)
+    pend_pos = jnp.minimum(pending_count, p_cap - 1)
+    gfeat = jnp.take_along_axis(
+        f_n, jnp.clip(flags.gcol, 0, f_n.shape[-2] - 1)[..., None], axis=-2
+    )  # [..., K, F]
+    sel = (iota_p == pend_pos[..., None]) & flags.matched[..., None]  # [..., K, P]
+    pending = jnp.where(sel[..., None], gfeat[..., None, :], pending)
+    pending_count = jnp.where(
+        flags.matched, jnp.minimum(pending_count + 1, p_cap), pending_count
+    )
+
+    # (2) deleted tracks reset
+    gallery_count = jnp.where(flags.delete, 0, gallery_count)
+    pending_count = jnp.where(flags.delete, 0, pending_count)
+
+    # (3) initiated slots: pending = [det feature]
+    has_new = flags.src < k
+    newf = jnp.take_along_axis(
+        f_n, jnp.clip(flags.src, 0, f_n.shape[-2] - 1)[..., None], axis=-2
+    )  # [..., K, F]
+    sel0 = (iota_p == 0) & has_new[..., None]
+    pending = jnp.where(sel0[..., None], newf[..., None, :], pending)
+    gallery_count = jnp.where(has_new, 0, gallery_count)
+    pending_count = jnp.where(has_new, 1, pending_count)
+
+    # (4) flush confirmed tracks' pending into the gallery ring. Gather
+    # formulation: for ring slot j the writing pending index is
+    # i = (j - count) mod budget, last-writer-wins on wrap (the loop form
+    # writes i ascending) -> i_last = i + budget * floor((pc-1-i)/budget).
+    j = jnp.arange(b, dtype=jnp.int32)  # [B]
+    i_for = (j - gallery_count[..., None]) % b  # [..., K, B]
+    pc = pending_count[..., None]
+    i_last = i_for + b * ((pc - 1 - i_for) // b)
+    upd = flags.conf_after[..., None] & (i_for < pc)
+    vals = jnp.take_along_axis(
+        pending, jnp.clip(i_last, 0, p_cap - 1)[..., None], axis=-2
+    )  # [..., K, B, F]
+    gallery = jnp.where(upd[..., None], vals, gallery)
+    gallery_count = jnp.where(
+        flags.conf_after, gallery_count + pending_count, gallery_count
+    )
+    pending_count = jnp.where(flags.conf_after, 0, pending_count)
+    return gallery, pending, gallery_count, pending_count
+
+
+def tracker_step_core(st, pre, tlwh, conf, det_valid, hp, width, height, present, det_order):
+    """cond(present)-gated association core for multi-class scan callers.
+
+    `st` may carry None for gallery/pending/*_count leaves (they live
+    OUTSIDE the class scan; see TrackerFlags). Returns (new_st, outputs,
+    flags), with all-zero flags when the class had no raw detection this
+    frame (the reference never calls that class's update,
+    modules/track.py:55-59 — state must not advance and buffers must not
+    change).
+    """
+    k = hp.capacity
+
+    def no_dets(st_):
+        empty = TrackerOutputs(
+            boxes=jnp.zeros((k, 4), jnp.int32),
+            ids=jnp.zeros((k,), jnp.int32),
+            scores=jnp.zeros((k,), jnp.float32),
+            mask=jnp.zeros((k,), bool),
+        )
+        flags = TrackerFlags(
+            matched=jnp.zeros((k,), bool),
+            gcol=jnp.zeros((k,), jnp.int32),
+            delete=jnp.zeros((k,), bool),
+            src=jnp.full((k,), k, jnp.int32),
+            conf_after=jnp.zeros((k,), bool),
+        )
+        return st_, empty, flags
+
+    def run(st_):
+        return _tracker_core(
+            st_, pre, tlwh, conf, det_valid, hp, width, height, det_order
+        )
+
+    return jax.lax.cond(present, run, no_dets, st)
+
+
+def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height, det_order, pre=None):
+    """Self-contained single-class step: precompute + core + feature post."""
+    if pre is None:
+        pre = tracker_precompute(st, tlwh, feat, det_valid, hp)
+    st2, outputs, flags = _tracker_core(
+        st, pre, tlwh, conf, det_valid, hp, width, height, det_order
+    )
+    f_n = feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
+    gallery, pending, gallery_count, pending_count = tracker_feature_post(
+        st.gallery, st.pending, st.gallery_count, st.pending_count, flags, f_n, hp
+    )
+    return (
+        st2._replace(
+            gallery=gallery,
+            pending=pending,
+            gallery_count=gallery_count,
+            pending_count=pending_count,
+        ),
+        outputs,
+    )
