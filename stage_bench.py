@@ -28,6 +28,9 @@ import time
 import numpy as np
 
 
+TRACE_DIR = [None]
+
+
 def _time_ms_per_frame(fn, sync, b, reps, chain):
     """min over reps of (chain dispatches; one sync) in ms/frame.
 
@@ -44,6 +47,13 @@ def _time_ms_per_frame(fn, sync, b, reps, chain):
             fn()
         sync()
         best = min(best, time.perf_counter() - t0)
+    if TRACE_DIR[0]:
+        import jax
+
+        with jax.profiler.trace(TRACE_DIR[0]):
+            for _ in range(chain):
+                fn()
+            sync()
     return best * 1000.0 / (b * chain)
 
 
@@ -54,6 +64,8 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--dets", type=int, default=30, help="target valid dets/frame")
     ap.add_argument("--stages", default="detect,embed,tracker,e2e")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of each measured stage")
     ap.add_argument("--reid_dtype", default="float32", choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
@@ -100,6 +112,7 @@ def main():
 
     stages = set(args.stages.split(","))
     results = {}
+    TRACE_DIR[0] = args.trace
 
     # ---- synthetic detections: args.dets valid boxes/frame over 4 classes --
     n_det = 300
@@ -306,16 +319,36 @@ def main():
             )
 
     if "e2e" in stages:
+        import collections
+
         states = init_states(hp)
-        lut = jnp.asarray(
-            np.concatenate([np.arange(4), np.full(76, -1)]).astype(np.int32)
-        )
         valid = jnp.ones((B,), bool)
-        kw = dict(
-            ycfg=ycfg, hp=hp, image_size=det_hw, src_hw=(H, W),
-            conf_thres=0.25, iou_thres=0.45, max_det=300, dtype=jnp.bfloat16,
-            frames_format="letterboxed_yuv420",
+
+        def make_kw(conf):
+            return dict(
+                ycfg=ycfg, hp=hp, image_size=det_hw, src_hw=(H, W),
+                conf_thres=conf, iou_thres=0.45, max_det=300, dtype=jnp.bfloat16,
+                frames_format="letterboxed_yuv420",
+            )
+
+        # calibrate to ~args.dets tracked detections/frame (same recipe as
+        # bench.py: identity lut pass, take the 4 dominant random-init
+        # classes, threshold at the 30th score)
+        lut_id = jnp.arange(80, dtype=jnp.int32)
+        _, det0, _ = pipeline_batch_step(
+            yolo_params, reid_params, reid_stats, states, frames, valid, lut_id,
+            **make_kw(0.0),
         )
+        sc0 = np.asarray(det0["scores"][0]); cl0 = np.asarray(det0["classes"][0])
+        ok0 = np.asarray(det0["valid"][0])
+        top4 = [c for c, _ in collections.Counter(cl0[ok0].tolist()).most_common(4)]
+        lut_h = np.full((80,), -1, np.int32)
+        for dd, srcc in enumerate(top4):
+            lut_h[srcc] = dd
+        lut = jnp.asarray(lut_h)
+        pool = np.sort(sc0[ok0 & np.isin(cl0, top4)])
+        conf = float(pool[-min(k, pool.size)]) if pool.size else 0.0
+        kw = make_kw(conf)
         out = [None]
 
         def run():

@@ -137,6 +137,7 @@ def sort_nms_mask(tlwh: jax.Array, scores: jax.Array, valid: jax.Array, max_over
     order = (n - 1) - jnp.argsort(-sc[::-1], stable=True)
     overlap = sort_overlap_matrix(tlwh[order])  # [N,N] (i suppresses j): entry [i,j]
     keep_sorted = greedy_suppress(overlap, valid[order], max_overlap)
-    # scatter back to input order
-    keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
+    # unpermute via one-hot reduce (a scatter here lowers to a slow loop
+    # under the per-class vmap on TPU)
+    keep = jnp.any(keep_sorted[None, :] & (order[None, :] == jnp.arange(n)[:, None]), axis=1)
     return keep & valid

@@ -147,8 +147,16 @@ def _embed_compacted_chunks(gather_chunk, embed_chunk, valid_flat, chunk: int):
     else:
         _, feats = jax.lax.scan(body, None, sel_chunks)
         feats_flat = feats.reshape(num_chunks * c, -1)
-    out = jnp.zeros((n, EMBED_DIM), feats_flat.dtype)
-    return out.at[order].set(feats_flat, mode="drop")
+    # inverse of the stable valid-first partition, computed with cumsums
+    # (a big scatter here costs ~25 us/frame on TPU): valid det i sits at
+    # compacted position cumsum(valid)-1, invalid ones after all valid.
+    n_valid = jnp.sum(valid_flat.astype(jnp.int32))
+    inv = jnp.where(
+        valid_flat,
+        jnp.cumsum(valid_flat.astype(jnp.int32)) - 1,
+        n_valid + jnp.cumsum((~valid_flat).astype(jnp.int32)) - 1,
+    )
+    return feats_flat[inv]
 
 
 def embed_detections(
@@ -257,10 +265,15 @@ def deepsort_frame_core(
     # LIST keeps that order — it drives Hungarian column order and new-track
     # id order. det_order = each detection's rank in that list.
     def pick_rank(s, v):
+        # rank under (descending score, ties -> higher original index) as a
+        # comparison-matrix count: equivalent to the argsort+scatter form
+        # but all-elementwise (vmapped scatters lower to slow loops on TPU)
         n = s.shape[0]
         sc = jnp.where(v, s, -jnp.inf)
-        order = (n - 1) - jnp.argsort(-sc[::-1], stable=True)
-        return jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+        i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        before = (sc[None, :] > sc[:, None]) | ((sc[None, :] == sc[:, None]) & (j > i))
+        return jnp.sum(before.astype(jnp.int32), axis=1)
 
     corder = jax.vmap(pick_rank)(cs, cv)  # [C, K]
 

@@ -40,6 +40,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vehicle_counting_tpu.ops.boxes import tlwh_iou_matrix, tlwh_to_xyah
 from vehicle_counting_tpu.tracking import kalman
@@ -453,15 +454,19 @@ def tracker_feature_post(gallery, pending, gallery_count, pending_count, flags, 
     """
     p_cap, b = hp.pending_cap, hp.budget
     k = gallery.shape[-3]
-    iota_p = jnp.arange(p_cap, dtype=jnp.int32)
+    r = int(np.prod(pending.shape[:-2], dtype=np.int64)) if pending.ndim > 2 else 1
+    p_flat = pending.reshape((r,) + pending.shape[-2:])  # [R, P, F]
+    r_idx = jnp.arange(r, dtype=jnp.int32)
 
-    # (1) append matched features at min(count, P-1)
+    # (1) append matched features at min(count, P-1): one row scatter
     pend_pos = jnp.minimum(pending_count, p_cap - 1)
     gfeat = jnp.take_along_axis(
         f_n, jnp.clip(flags.gcol, 0, f_n.shape[-2] - 1)[..., None], axis=-2
     )  # [..., K, F]
-    sel = (iota_p == pend_pos[..., None]) & flags.matched[..., None]  # [..., K, P]
-    pending = jnp.where(sel[..., None], gfeat[..., None, :], pending)
+    app_pos = jnp.where(flags.matched, pend_pos, p_cap).reshape(r)  # P -> dropped
+    p_flat = p_flat.at[r_idx, app_pos].set(
+        gfeat.reshape(r, -1), mode="drop"
+    )
     pending_count = jnp.where(
         flags.matched, jnp.minimum(pending_count + 1, p_cap), pending_count
     )
@@ -475,24 +480,33 @@ def tracker_feature_post(gallery, pending, gallery_count, pending_count, flags, 
     newf = jnp.take_along_axis(
         f_n, jnp.clip(flags.src, 0, f_n.shape[-2] - 1)[..., None], axis=-2
     )  # [..., K, F]
-    sel0 = (iota_p == 0) & has_new[..., None]
-    pending = jnp.where(sel0[..., None], newf[..., None, :], pending)
+    new_pos = jnp.where(has_new, 0, p_cap).reshape(r)
+    p_flat = p_flat.at[r_idx, new_pos].set(newf.reshape(r, -1), mode="drop")
+    pending = p_flat.reshape(pending.shape)
     gallery_count = jnp.where(has_new, 0, gallery_count)
     pending_count = jnp.where(has_new, 1, pending_count)
 
-    # (4) flush confirmed tracks' pending into the gallery ring. Gather
-    # formulation: for ring slot j the writing pending index is
-    # i = (j - count) mod budget, last-writer-wins on wrap (the loop form
-    # writes i ascending) -> i_last = i + budget * floor((pc-1-i)/budget).
-    j = jnp.arange(b, dtype=jnp.int32)  # [B]
-    i_for = (j - gallery_count[..., None]) % b  # [..., K, B]
-    pc = pending_count[..., None]
-    i_last = i_for + b * ((pc - 1 - i_for) // b)
-    upd = flags.conf_after[..., None] & (i_for < pc)
-    vals = jnp.take_along_axis(
-        pending, jnp.clip(i_last, 0, p_cap - 1)[..., None], axis=-2
-    )  # [..., K, B, F]
-    gallery = jnp.where(upd[..., None], vals, gallery)
+    # (4) flush confirmed tracks' pending into the gallery ring, as ONE
+    # scatter over the flattened [lead*K] row axis. A scatter touches only
+    # the <= P written rows per track and updates the (dead) input buffer in
+    # place; the take_along_axis+where formulation measured ~150 us/frame on
+    # v5e because it re-materializes the whole [C, K, budget, F] gallery
+    # every frame. Ring positions (count + i) % budget repeat only when
+    # pending_count > budget; the reference's ascending loop makes the LAST
+    # budget entries win, reproduced by the i >= pc - budget mask.
+    lead_shape = gallery.shape
+    g2 = gallery.reshape((-1,) + gallery.shape[-2:])   # [R, B, F]
+    p2 = pending.reshape((-1,) + pending.shape[-2:])   # [R, P, F]
+    gc = gallery_count.reshape(-1)
+    pc = pending_count.reshape(-1)
+    cf = flags.conf_after.reshape(-1)
+    i_idx = jnp.arange(p_cap, dtype=jnp.int32)[None, :]               # [1, P]
+    put = cf[:, None] & (i_idx < pc[:, None]) & (i_idx >= pc[:, None] - b)
+    pos = jnp.where(put, (gc[:, None] + i_idx) % b, b)                # b -> dropped
+    rows = jnp.broadcast_to(
+        jnp.arange(g2.shape[0], dtype=jnp.int32)[:, None], pos.shape
+    )
+    gallery = g2.at[rows, pos].set(p2, mode="drop").reshape(lead_shape)
     gallery_count = jnp.where(
         flags.conf_after, gallery_count + pending_count, gallery_count
     )
