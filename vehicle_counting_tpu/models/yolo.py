@@ -218,7 +218,7 @@ def decode_predictions(heads: Sequence[jax.Array], cfg: YoloConfig) -> Dict[str,
     wh = (2*s_wh)^2 * anchor; score = obj * cls (multi_label=False: best
     class only, matching networks/yolo.py:65).
     """
-    outs_box, outs_score, outs_best, outs_bestp, outs_cls = [], [], [], [], []
+    outs_box, outs_score, outs_cls = [], [], []
     for head, stride, anchors in zip(heads, cfg.strides, cfg.anchors):
         b, h, w, _ = head.shape
         na, no = cfg.na, cfg.no
@@ -231,8 +231,6 @@ def decode_predictions(heads: Sequence[jax.Array], cfg: YoloConfig) -> Dict[str,
         s_xywh = jax.nn.sigmoid(p[..., 0:4])
         obj = jax.nn.sigmoid(p[..., 4])
         cls_logit = p[..., 5:]
-        best = jnp.argmax(cls_logit, axis=-1).astype(jnp.int32)
-        bestp = jax.nn.sigmoid(jnp.max(cls_logit, axis=-1))
         gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
         gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
         grid = jnp.stack([gx, gy], axis=-1)[None, :, :, None, :]  # [1,h,w,1,2]
@@ -242,16 +240,17 @@ def decode_predictions(heads: Sequence[jax.Array], cfg: YoloConfig) -> Dict[str,
         cxcywh = jnp.concatenate([xy, wh], axis=-1)
         outs_box.append(cxcywh.reshape(b, h * w * na, 4))
         outs_score.append(obj.reshape(b, h * w * na))
-        outs_best.append(best.reshape(b, h * w * na))
-        outs_bestp.append(bestp.reshape(b, h * w * na))
         outs_cls.append(cls_logit.reshape(b, h * w * na, cfg.num_classes))
     boxes = jnp.concatenate(outs_box, axis=1)  # [B, A, 4] cxcywh
     obj = jnp.concatenate(outs_score, axis=1)  # [B, A]
+    cls_logit = jnp.concatenate(outs_cls, axis=1)  # [B, A, nc] raw logits
+    # class max/argmax AFTER the concat (one [B, A, nc] reduce tiles far
+    # better than per-head [b,h,w,na,nc] reduces — measured 2.5x on v5e)
+    best_cls = jnp.argmax(cls_logit, axis=-1).astype(jnp.int32)
+    best_cls_p = jax.nn.sigmoid(jnp.max(cls_logit, axis=-1))
     # full per-class probabilities only for callers that read them (WBF /
     # evaluation); dead-code-eliminated out of the detect+track path
-    cls = jax.nn.sigmoid(jnp.concatenate(outs_cls, axis=1))  # [B, A, nc]
-    best_cls = jnp.concatenate(outs_best, axis=1)
-    best_cls_p = jnp.concatenate(outs_bestp, axis=1)
+    cls = jax.nn.sigmoid(cls_logit)
     scores = obj * best_cls_p
     x1 = boxes[..., 0] - boxes[..., 2] / 2
     y1 = boxes[..., 1] - boxes[..., 3] / 2
