@@ -132,12 +132,21 @@ def sort_nms_mask(tlwh: jax.Array, scores: jax.Array, valid: jax.Array, max_over
     """
     n = tlwh.shape[0]
     # priority = descending score, ties -> HIGHER original index first.
-    # Stable argsort over the reversed array yields exactly that ordering.
+    # rank[i] = processing position of i, via a comparison-matrix count
+    # (cheaper than a [64] sort on TPU and vmaps over classes without the
+    # sort's per-lane lowering); order[rank[i]] = i inverts it.
     sc = jnp.where(valid, scores, -jnp.inf)
-    order = (n - 1) - jnp.argsort(-sc[::-1], stable=True)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rank = jnp.sum(
+        (sc[None, :] > sc[:, None])
+        | ((sc[None, :] == sc[:, None]) & (idx[None, :] > idx[:, None])),
+        axis=1,
+    ).astype(jnp.int32)
+    # invert rank -> order with a one-hot reduce, not a scatter (scatters
+    # lower to per-lane loops under the per-class vmap on TPU)
+    order = jnp.sum(jnp.where(rank[None, :] == idx[:, None], idx[None, :], 0), axis=1)
     overlap = sort_overlap_matrix(tlwh[order])  # [N,N] (i suppresses j): entry [i,j]
     keep_sorted = greedy_suppress(overlap, valid[order], max_overlap)
-    # unpermute via one-hot reduce (a scatter here lowers to a slow loop
-    # under the per-class vmap on TPU)
-    keep = jnp.any(keep_sorted[None, :] & (order[None, :] == jnp.arange(n)[:, None]), axis=1)
-    return keep & valid
+    # unpermute: element i sits at processing position rank[i] — a gather,
+    # which (unlike a scatter) stays cheap under the per-class vmap on TPU
+    return keep_sorted[rank] & valid

@@ -143,6 +143,25 @@ def _appearance_cost(st: TrackerState, feat: jax.Array, hp: TrackerParams) -> ja
     return jnp.min(dist, axis=1)  # [K, D]
 
 
+def _stable_perm(keys: jax.Array) -> jax.Array:
+    """Stable ascending permutation of [K] int keys, without a sort.
+
+    rank[i] = #{j: keys[j] < keys[i]} + #{j < i: keys[j] == keys[i]}, computed
+    as one [K, K] comparison-matrix reduce + a [K]-indexed scatter. Equivalent
+    to jnp.argsort(keys, stable=True), but ~2 us cheaper per instance on v5e
+    at K=64 — and the match cascade runs ~2 instances per stage per class per
+    frame, which made the two argsorts the single largest line item in the
+    steady-state tracker profile (~125 us/frame of 1150)."""
+    k = keys.shape[0]
+    idx = jnp.arange(k, dtype=jnp.int32)
+    lt = keys[:, None] > keys[None, :]
+    tie = (keys[:, None] == keys[None, :]) & (idx[None, :] < idx[:, None])
+    rank = jnp.sum(lt | tie, axis=1).astype(jnp.int32)
+    # invert rank -> perm with a one-hot reduce, not a scatter: scatters
+    # lower to per-lane loops under vmap (the batched class mode vmaps this)
+    return jnp.sum(jnp.where(rank[None, :] == idx[:, None], idx[None, :], 0), axis=1)
+
+
 def _match_stage(cost, rows, det_free, track_col, threshold, row_order, det_key, stage_base):
     """One min_cost_matching pass over masked rows/cols.
 
@@ -164,10 +183,12 @@ def _match_stage(cost, rows, det_free, track_col, threshold, row_order, det_key,
         nc = jnp.sum(det_free_.astype(jnp.int32))
         # compact: real rows first in reference row order, real cols first in
         # unmatched-list order — scipy tie-breaking scans in these orders.
-        row_perm = jnp.argsort(jnp.where(rows, row_order, imax), stable=True)
-        col_perm = jnp.argsort(jnp.where(det_free_, det_key_, imax), stable=True)
+        row_perm = _stable_perm(jnp.where(rows, row_order, imax))
+        col_perm = _stable_perm(jnp.where(det_free_, det_key_, imax))
         c = matching_cost_matrix(cost, rows, det_free_, threshold)
-        c2 = c[row_perm][:, col_perm]
+        c2 = c[row_perm][:, col_perm]  # row gather then column gather; a
+        # single 2-D-indexed gather here lowers to 4096 scalar fetches
+        # (measured 2x the whole tracker stage on v5e)
         r2c = solve_assignment_sub_fast(c2, nr, nc)  # permuted row -> permuted col
 
         a = jnp.arange(k)
