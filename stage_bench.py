@@ -67,6 +67,7 @@ def main():
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of each measured stage")
     ap.add_argument("--reid_dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--max_embed", type=int, default=64, help="ReID crops per CNN forward")
     args = ap.parse_args()
 
     import jax
@@ -100,7 +101,9 @@ def main():
     reid_params, reid_stats = init_reid(jax.random.PRNGKey(1))
     reid_params = jax.device_put(reid_params)
     reid_stats = jax.device_put(reid_stats)
-    hp = DeepSortParams(tracker=TrackerParams(capacity=64), num_classes=4)
+    hp = DeepSortParams(
+        tracker=TrackerParams(capacity=64), num_classes=4, max_embed=args.max_embed
+    )
 
     rng = np.random.default_rng(0)
     frames_host = host_letterbox_yuv420(
@@ -245,9 +248,11 @@ def main():
         vsel = jnp.ones((n_crops,), bool)
 
         if "embed_gather" in stages:
+            gdt = jnp.bfloat16 if args.reid_dtype == "bfloat16" else None
+
             @jax.jit
             def gather_only(src, fi, bx, v):
-                crops = gather_crops_batch(src, fi, bx, v)
+                crops = gather_crops_batch(src, fi, bx, v, dtype=gdt)
                 return crops.sum()  # consume without the CNN
 
             out = [None]

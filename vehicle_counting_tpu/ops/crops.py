@@ -70,57 +70,81 @@ def _bilinear_coords(boxes_xyxy, h: int, w: int, out_size: Tuple[int, int]):
     return y0c, y1c, fy, x0c, x1c, fx
 
 
-def _mix_bilinear(r00, r01, r10, r11, fy_, fx_):
-    top = r00 * (1 - fx_)[None, :, None] + r01 * fx_[None, :, None]
-    bot = r10 * (1 - fx_)[None, :, None] + r11 * fx_[None, :, None]
-    return top * (1 - fy_)[:, None, None] + bot * fy_[:, None, None]
+def _columns_matmul(rows: jax.Array, x0c, x1c, fx, w: int, dtype) -> jax.Array:
+    """Column bilinear interpolation as a one-hot batched matmul.
+
+    rows: [D, R, W, C] native dtype (uint8). Returns [D, R, ow, C] f32.
+
+    The one-hot weight matrix sel[d, w, o] carries BOTH column taps
+    ((1-fx) at x0c, fx at x1c; at clamp edges the taps coincide and the
+    weights sum to 1), so one W-contraction on the MXU replaces the four
+    per-(crop, pixel) column gathers of the naive form — XLA lowers those
+    to element fetches (~11 us/crop measured on v5e at 640x640 sources);
+    the contraction is ~0.6 MMAC/crop. dtype=bfloat16 halves operand
+    traffic on TPU (uint8 pixel values are exact in bf16; weights lose
+    <=2^-9 relative — immaterial ahead of a bf16 CNN); None keeps f32
+    (used by CPU tests, exact).
+    """
+    cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    iw = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+    w0 = (1.0 - fx)[:, None, :].astype(cdt)
+    w1 = fx[:, None, :].astype(cdt)
+    zero = jnp.zeros((), cdt)
+    sel = jnp.where(iw == x0c[:, None, :], w0, zero) + jnp.where(
+        iw == x1c[:, None, :], w1, zero
+    )  # [D, W, ow]
+    return jnp.einsum(
+        "drwc,dwo->droc",
+        rows.astype(cdt),
+        sel,
+        preferred_element_type=jnp.float32,
+    )
 
 
-@partial(jax.jit, static_argnames=("out_size",))
+def _resize_rows(rows: jax.Array, fy, x0c, x1c, fx, w: int, oh: int, dtype):
+    """[D, 2*oh, W, C] stacked row taps -> [D, oh, ow, C] f32 bilinear."""
+    mixed = _columns_matmul(rows, x0c, x1c, fx, w, dtype)
+    return (
+        mixed[:, :oh] * (1.0 - fy)[:, :, None, None]
+        + mixed[:, oh:] * fy[:, :, None, None]
+    )
+
+
+@partial(jax.jit, static_argnames=("out_size", "dtype"))
 def gather_crops(
     frame: jax.Array,
     boxes_xyxy: jax.Array,
     valid: jax.Array,
     out_size: Tuple[int, int] = (CROP_SIZE, CROP_SIZE),
+    dtype=None,
 ) -> jax.Array:
     """Sample normalized [D, oh, ow, 3] crops from one frame.
 
     frame: [H, W, 3] uint8/float RGB (0..255). boxes: [D, 4] xyxy floats.
     Invalid rows produce all-zero crops.
+
+    Rows are gathered in the frame's native (usually uint8) dtype — they are
+    contiguous 3*W-byte slices, which XLA moves at near memory bandwidth;
+    both vertical taps share ONE gather. Column interpolation then runs as a
+    one-hot matmul (`_columns_matmul`) instead of per-element gathers.
     """
     h, w, _ = frame.shape
-    # keep the gather in the frame's native (usually uint8) dtype — 4x less
-    # HBM gather traffic than normalizing the whole frame to f32 first;
-    # normalization happens on the tiny [D, oh, ow, 3] result instead
-    img = frame
+    oh, _ = out_size
     y0c, y1c, fy, x0c, x1c, fx = _bilinear_coords(boxes_xyxy, h, w, out_size)
-
-    # NOTE on alternatives: expressing the bilinear resize as two MXU matmuls
-    # (separable interpolation with one-hot weight matrices) was measured
-    # SLOWER on v5e than row gathers at these sizes (~3ms vs ~1.2ms device
-    # time for 64 crops) — the [D*oh, H] x [H, W*3] batched matmul tiles
-    # poorly at M=50. Row gathers in uint8 keep traffic low.
-    def sample_one(y0c_, y1c_, fy_, x0c_, x1c_, fx_):
-        r0 = img[y0c_]  # [oh, W, 3] native-dtype row gather
-        r1 = img[y1c_]
-        r00 = r0[:, x0c_].astype(jnp.float32)  # [oh, ow, 3]
-        r01 = r0[:, x1c_].astype(jnp.float32)
-        r10 = r1[:, x0c_].astype(jnp.float32)
-        r11 = r1[:, x1c_].astype(jnp.float32)
-        return _mix_bilinear(r00, r01, r10, r11, fy_, fx_)
-
-    crops = jax.vmap(sample_one)(y0c, y1c, fy, x0c, x1c, fx)  # [D, oh, ow, 3]
+    rows = frame[jnp.concatenate([y0c, y1c], axis=1)]  # [D, 2*oh, W, 3]
+    crops = _resize_rows(rows, fy, x0c, x1c, fx, w, oh, dtype)
     crops = (crops / 255.0 - _MEAN) / _STD
     return jnp.where(valid[:, None, None, None], crops, 0.0)
 
 
-@partial(jax.jit, static_argnames=("out_size",))
+@partial(jax.jit, static_argnames=("out_size", "dtype"))
 def gather_crops_batch(
     frames: jax.Array,
     frame_idx: jax.Array,
     boxes_xyxy: jax.Array,
     valid: jax.Array,
     out_size: Tuple[int, int] = (CROP_SIZE, CROP_SIZE),
+    dtype=None,
 ) -> jax.Array:
     """Sample normalized [D, oh, ow, 3] crops, each from its own frame.
 
@@ -130,17 +154,10 @@ def gather_crops_batch(
     CNN forward regardless of how detections distribute across frames.
     """
     _, h, w, _ = frames.shape
+    oh, _ = out_size
     y0c, y1c, fy, x0c, x1c, fx = _bilinear_coords(boxes_xyxy, h, w, out_size)
-
-    def sample_one(fi, y0c_, y1c_, fy_, x0c_, x1c_, fx_):
-        r0 = frames[fi, y0c_]  # [oh, W, 3] native-dtype row gather
-        r1 = frames[fi, y1c_]
-        r00 = r0[:, x0c_].astype(jnp.float32)  # [oh, ow, 3]
-        r01 = r0[:, x1c_].astype(jnp.float32)
-        r10 = r1[:, x0c_].astype(jnp.float32)
-        r11 = r1[:, x1c_].astype(jnp.float32)
-        return _mix_bilinear(r00, r01, r10, r11, fy_, fx_)
-
-    crops = jax.vmap(sample_one)(frame_idx, y0c, y1c, fy, x0c, x1c, fx)
+    y_idx = jnp.concatenate([y0c, y1c], axis=1)  # [D, 2*oh]
+    rows = frames[frame_idx[:, None], y_idx]     # [D, 2*oh, W, 3] row gather
+    crops = _resize_rows(rows, fy, x0c, x1c, fx, w, oh, dtype)
     crops = (crops / 255.0 - _MEAN) / _STD
     return jnp.where(valid[:, None, None, None], crops, 0.0)

@@ -181,7 +181,7 @@ def embed_detections(
     boxes_p = jnp.concatenate([boxes_t, jnp.zeros((1, 4), boxes_t.dtype)])
 
     def gather_chunk(sel, v):
-        return gather_crops(frame, boxes_p[sel], v)
+        return gather_crops(frame, boxes_p[sel], v, dtype=dtype)
 
     def embed_chunk(crops):
         return reid_forward(reid_params, reid_stats, crops, train=False, reid=True, dtype=dtype)
@@ -215,7 +215,7 @@ def embed_detections_batch(
     fv = valid.reshape(b * n)
 
     def gather_chunk(sel, v):
-        return gather_crops_batch(frames, fidx[sel], fb[sel], v)
+        return gather_crops_batch(frames, fidx[sel], fb[sel], v, dtype=dtype)
 
     def embed_chunk(crops):
         return reid_forward(reid_params, reid_stats, crops, train=False, reid=True, dtype=dtype)
