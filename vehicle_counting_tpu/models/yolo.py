@@ -207,7 +207,11 @@ def yolov5_forward(params, images, cfg: YoloConfig, *, dtype=jnp.bfloat16) -> Li
     o5 = _c3(L["23"], x, shortcut=False, dtype=dtype)
     heads = []
     for m, o in zip(L["24"]["m"], (o3, o4, o5)):
-        heads.append(conv_block(m, o, act=False, dtype=dtype).astype(jnp.float32))
+        # heads stay in the compute dtype: bf16 -> f32 casting is exact, so
+        # decode gets identical values either way, and keeping bf16 halves
+        # the [B, A, 85] slice/reduce traffic in the decode tail (the cast
+        # of head0 alone cost 26 us/frame on v5e)
+        heads.append(conv_block(m, o, act=False, dtype=dtype))
     return heads
 
 
@@ -217,6 +221,15 @@ def decode_predictions(heads: Sequence[jax.Array], cfg: YoloConfig) -> Dict[str,
     v5 decode: s = sigmoid(raw); xy = (2*s_xy - 0.5 + grid) * stride;
     wh = (2*s_wh)^2 * anchor; score = obj * cls (multi_label=False: best
     class only, matching networks/yolo.py:65).
+
+    Heads may arrive in bf16 (the conv compute dtype): slices and the class
+    max/argmax run in that dtype (bf16->f32 casting is exact, so comparisons
+    and tie-breaks are identical to an f32 decode of the same heads — this
+    halves the [B, A, nc] slice/reduce traffic, the decode tail's main cost
+    on v5e), and every transcendental/box output is computed and returned in
+    f32. The class max/argmax also runs on LOGITS: sigmoid is monotone, so
+    sigmoid(max(logits)) == max(sigmoid(logits)) with the same argmax; one
+    scalar sigmoid per anchor replaces an nc-wide one.
     """
     outs_box, outs_score, outs_cls = [], [], []
     for head, stride, anchors in zip(heads, cfg.strides, cfg.anchors):
@@ -224,13 +237,10 @@ def decode_predictions(heads: Sequence[jax.Array], cfg: YoloConfig) -> Dict[str,
         na, no = cfg.na, cfg.no
         p = head.reshape(b, h, w, na, no)
         # slice raw logits FIRST and sigmoid per consumer slice — avoids
-        # materializing sigmoid over the whole [B,h,w,na,85] tensor. The
-        # class max/argmax runs on LOGITS: sigmoid is monotone, so
-        # sigmoid(max(logits)) == max(sigmoid(logits)) and the argmax index
-        # is identical; one scalar sigmoid per anchor replaces an nc-wide one.
-        s_xywh = jax.nn.sigmoid(p[..., 0:4])
-        obj = jax.nn.sigmoid(p[..., 4])
-        cls_logit = p[..., 5:]
+        # materializing sigmoid over the whole [B,h,w,na,85] tensor
+        s_xywh = jax.nn.sigmoid(p[..., 0:4].astype(jnp.float32))
+        obj = jax.nn.sigmoid(p[..., 4].astype(jnp.float32))
+        cls_logit = p[..., 5:]  # native (possibly bf16) dtype
         gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
         gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
         grid = jnp.stack([gx, gy], axis=-1)[None, :, :, None, :]  # [1,h,w,1,2]
@@ -247,10 +257,10 @@ def decode_predictions(heads: Sequence[jax.Array], cfg: YoloConfig) -> Dict[str,
     # class max/argmax AFTER the concat (one [B, A, nc] reduce tiles far
     # better than per-head [b,h,w,na,nc] reduces — measured 2.5x on v5e)
     best_cls = jnp.argmax(cls_logit, axis=-1).astype(jnp.int32)
-    best_cls_p = jax.nn.sigmoid(jnp.max(cls_logit, axis=-1))
+    best_cls_p = jax.nn.sigmoid(jnp.max(cls_logit, axis=-1).astype(jnp.float32))
     # full per-class probabilities only for callers that read them (WBF /
     # evaluation); dead-code-eliminated out of the detect+track path
-    cls = jax.nn.sigmoid(cls_logit)
+    cls = jax.nn.sigmoid(cls_logit.astype(jnp.float32))
     scores = obj * best_cls_p
     x1 = boxes[..., 0] - boxes[..., 2] / 2
     y1 = boxes[..., 1] - boxes[..., 3] / 2

@@ -60,7 +60,12 @@ class DeepSortParams(NamedTuple):
                                   # 4-class/1-class 30-det loads — vmapped
                                   # scatters in the association core negate
                                   # the launch savings.
-    max_embed: int = 64           # ReID crops per CNN forward (chunk size).
+    max_embed: int = 128          # ReID crops per CNN forward (chunk size;
+                                  # 128 measured best on v5e at 30 dets/frame
+                                  # x B=32: 0.420 ms/frame embed vs 0.460 at
+                                  # 64 and 0.441 at 256 — bigger chunks tile
+                                  # the small 50x50 convs better, with
+                                  # diminishing returns past one pass/4 frames).
                                   # ALL valid detections are embedded, like
                                   # the reference (deep_sort.py:119-129):
                                   # valid dets compact to the front, then a
