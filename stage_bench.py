@@ -68,6 +68,8 @@ def main():
                     help="capture a jax.profiler trace of each measured stage")
     ap.add_argument("--reid_dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--max_embed", type=int, default=64, help="ReID crops per CNN forward")
+    ap.add_argument("--class_mode", default="scan", choices=["scan", "batched"])
+    ap.add_argument("--num_classes", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -102,7 +104,8 @@ def main():
     reid_params = jax.device_put(reid_params)
     reid_stats = jax.device_put(reid_stats)
     hp = DeepSortParams(
-        tracker=TrackerParams(capacity=64), num_classes=4, max_embed=args.max_embed
+        tracker=TrackerParams(capacity=64), num_classes=args.num_classes,
+        max_embed=args.max_embed, class_mode=args.class_mode,
     )
 
     rng = np.random.default_rng(0)
@@ -132,7 +135,7 @@ def main():
     det_valid = np.zeros((B, n_det), bool)
     det_valid[:, :k] = True
     classes_h = np.asarray(
-        np.random.default_rng(1).integers(0, 4, size=(B, n_det)), np.int32
+        np.random.default_rng(1).integers(0, args.num_classes, size=(B, n_det)), np.int32
     )
     scores_h = np.asarray(
         np.random.default_rng(2).uniform(0.3, 0.9, size=(B, n_det)), np.float32

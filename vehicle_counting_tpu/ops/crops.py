@@ -83,9 +83,12 @@ def _columns_matmul(rows: jax.Array, x0c, x1c, fx, w: int, dtype) -> jax.Array:
     the contraction is ~0.6 MMAC/crop. dtype=bfloat16 halves operand
     traffic on TPU (uint8 pixel values are exact in bf16; weights lose
     <=2^-9 relative — immaterial ahead of a bf16 CNN); None keeps f32
-    (used by CPU tests, exact).
+    (used by CPU tests, exact). The bf16 mode is applied on TPU only: the
+    CPU multi-process (thunk) runtime rejects BF16 x BF16 -> F32 dots, and
+    on CPU the f32 path is the exact-parity reference anyway.
     """
-    cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    use_bf16 = dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+    cdt = jnp.bfloat16 if use_bf16 else jnp.float32
     iw = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
     w0 = (1.0 - fx)[:, None, :].astype(cdt)
     w1 = fx[:, None, :].astype(cdt)

@@ -51,15 +51,21 @@ class DeepSortParams(NamedTuple):
     num_classes: int
     min_confidence: float = 0.25  # MIN_CONFIDENCE
     nms_max_overlap: float = 0.5  # NMS_MAX_OVERLAP
-    class_mode: str = "scan"      # "scan": sequential per-class association
-                                  # steps with cond skips (feature buffers
-                                  # hoisted out either way). Measured on v5e
-                                  # steady-state: scan 1.45/0.87 ms/frame vs
-                                  # "batched" (class-vmapped step, one grid
-                                  # solver launch per stage) 1.52/1.62 at
-                                  # 4-class/1-class 30-det loads — vmapped
-                                  # scatters in the association core negate
-                                  # the launch savings.
+    class_mode: str = "batched"   # "batched": class-vmapped association step
+                                  # — each cascade stage runs once for ALL
+                                  # classes (one grid-batched Pallas solver
+                                  # launch) instead of per class. Became the
+                                  # winner once the association core went
+                                  # scatter-free (vmapped scatters lower to
+                                  # ~14 us per-lane loops); measured on v5e
+                                  # at 30 dets/frame steady/churn:
+                                  #   4-class: batched 0.820/0.449 ms/frame
+                                  #            vs scan 1.083/0.547
+                                  #   1-class: batched 0.636/0.561
+                                  #            vs scan 0.602/0.562 (tie)
+                                  # "scan" keeps real lax.cond skips for
+                                  # empty classes — marginally better when
+                                  # only one class is ever populated.
     max_embed: int = 128          # ReID crops per CNN forward (chunk size;
                                   # 128 measured best on v5e at 30 dets/frame
                                   # x B=32: 0.420 ms/frame embed vs 0.460 at

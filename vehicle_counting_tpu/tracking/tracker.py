@@ -198,17 +198,28 @@ def _match_stage(cost, rows, det_free, track_col, threshold, row_order, det_key,
         reject = paired & ~accept
         slot_col = col_perm[jnp.clip(r2c, 0, k - 1)]
 
-        track_col_ = track_col_.at[jnp.where(accept, row_perm, k)].set(
-            jnp.where(accept, slot_col, -1), mode="drop"
+        # All updates below are one-hot reduces over the permuted-row axis
+        # `a` rather than scatters: a scatter lowers to a ~14 us per-lane
+        # loop under vmap (the batched class mode vmaps this whole stage),
+        # while a [K, K] masked reduce costs ~1 us either way. row_perm /
+        # slot_col hit each target index at most once, so sum == the single
+        # written value.
+        onehot_r = accept[None, :] & (row_perm[None, :] == a[:, None])  # [K(i), K(a)]
+        hit_r = jnp.any(onehot_r, axis=1)
+        track_col_ = jnp.where(
+            hit_r, jnp.sum(jnp.where(onehot_r, slot_col[None, :], 0), axis=1), track_col_
         )
-        taken = jnp.zeros_like(det_free_).at[jnp.where(accept, slot_col, k)].set(
-            True, mode="drop"
-        )
+        taken = jnp.any(
+            accept[None, :] & (slot_col[None, :] == a[:, None]), axis=1
+        )  # [K(j)]
         # demote rejected detections in submatrix row order (= scipy's
         # ascending row_ind, the order min_cost_matching appends them)
         rank = jnp.cumsum(reject.astype(jnp.int32)) - 1
-        det_key_ = det_key_.at[jnp.where(reject, slot_col, k)].set(
-            stage_base * k + rank, mode="drop"
+        onehot_j = reject[None, :] & (slot_col[None, :] == a[:, None])  # [K(j), K(a)]
+        det_key_ = jnp.where(
+            jnp.any(onehot_j, axis=1),
+            stage_base * k + jnp.sum(jnp.where(onehot_j, rank[None, :], 0), axis=1),
+            det_key_,
         )
         return det_free_ & ~taken, track_col_, det_key_
 
@@ -395,27 +406,40 @@ def _tracker_core(st, pre, tlwh, conf, det_valid, hp, width, height, det_order):
     free = state == EMPTY
     free_pos = jnp.cumsum(free.astype(jnp.int32)) - 1
     num_free = jnp.sum(free.astype(jnp.int32))
-    slot_of_rank = jnp.full((k,), k, jnp.int32).at[
-        jnp.where(free, free_pos, k)
-    ].set(jnp.arange(k, dtype=jnp.int32), mode="drop")
+    d_idx = jnp.arange(k, dtype=jnp.int32)
+    # slot_of_rank[r] = index of the r-th free slot; one-hot reduce instead
+    # of a scatter (scatters lower to per-lane loops under the batched class
+    # mode's vmap; a [K, K] masked reduce costs ~1 us either way)
+    oh_free = free[None, :] & (free_pos[None, :] == d_idx[:, None])  # [K(r), K(i)]
+    slot_of_rank = jnp.where(
+        jnp.any(oh_free, axis=1),
+        jnp.sum(jnp.where(oh_free, d_idx[None, :], 0), axis=1),
+        k,
+    )
 
     place = unmatched_det & (det_rank < num_free)
     target = jnp.where(place, slot_of_rank[jnp.clip(det_rank, 0, k - 1)], k)  # [D]->slot
 
     nm, ncv = kalman.initiate(det_xyah)  # [D, 8], [D, 8, 8]
-    mean = mean.at[target].set(nm, mode="drop")
-    cov = cov.at[target].set(ncv, mode="drop")
+    # slot initiation as one-hot selects/matmuls, not scatters. W[i, d] =
+    # detection d initiates slot i — a permutation submatrix, so each f32
+    # row-sum has at most one nonzero term (bit-exact vs the scatter form).
+    W = place[None, :] & (target[None, :] == d_idx[:, None])  # [K(slot), D(det)]
+    hit = jnp.any(W, axis=1)
+    Wf = W.astype(jnp.float32)
+    mean = jnp.where(hit[:, None], Wf @ nm, mean)
+    cov = jnp.where(hit[:, None, None], (Wf @ ncv.reshape(k, -1)).reshape(k, 8, 8), cov)
     new_ids = (st.next_id + det_rank).astype(jnp.int32)
-    track_id = st.track_id.at[target].set(new_ids, mode="drop")
-    state = state.at[target].set(TENTATIVE, mode="drop")
-    hits = hits.at[target].set(1, mode="drop")
-    age = age.at[target].set(1, mode="drop")
-    tsu = tsu.at[target].set(0, mode="drop")
-    last_conf = last_conf.at[target].set(conf, mode="drop")
-    # invert det->slot into slot->det for the feature-buffer post pass
-    src = jnp.full((k,), k, jnp.int32).at[target].set(
-        jnp.arange(k, dtype=jnp.int32), mode="drop"
+    track_id = jnp.where(
+        hit, jnp.sum(jnp.where(W, new_ids[None, :], 0), axis=1), st.track_id
     )
+    state = jnp.where(hit, TENTATIVE, state)
+    hits = jnp.where(hit, 1, hits)
+    age = jnp.where(hit, 1, age)
+    tsu = jnp.where(hit, 0, tsu)
+    last_conf = jnp.where(hit, Wf @ conf, last_conf)
+    # invert det->slot into slot->det for the feature-buffer post pass
+    src = jnp.where(hit, jnp.sum(jnp.where(W, d_idx[None, :], 0), axis=1), k)
 
     num_new = jnp.sum(place.astype(jnp.int32))
     next_id = st.next_id + num_new
