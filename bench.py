@@ -140,7 +140,9 @@ def main():
         pool.shutdown()
         return states, time.perf_counter() - t0
 
-    n_windows = int(os.environ.get("BENCH_WINDOWS", "5"))
+    # the dev tunnel's bandwidth swings ~3x on minute timescales; more
+    # windows = more chances to sample it unloaded (each is ~3-5 s)
+    n_windows = int(os.environ.get("BENCH_WINDOWS", "8"))
     times = []
     for _ in range(n_windows):
         states, dt = window(states, N_BATCHES)

@@ -148,9 +148,14 @@ def solve_uniform(insert_fn, cost: jax.Array, nr, nc) -> jax.Array:
     n_ins = jnp.where(flip, nc, nr)
     p = insert_fn(mat, n_ins)  # [s+1] col -> row (of the inserted side)
     cols = jnp.arange(s, dtype=jnp.int32)
-    r2c_normal = jnp.full((s,), -1, jnp.int32).at[
-        jnp.where(p[:s] >= 0, p[:s], s)
-    ].set(cols, mode="drop")
+    # invert col->row into row->col with a one-hot reduce, NOT a scatter:
+    # this runs once per solve under the batched class mode's vmap, where a
+    # scatter lowers to a ~13 us per-lane loop (measured 141 us/frame of the
+    # steady tracker) and an [S, S] masked reduce costs ~1 us.
+    oh = p[None, :s] == cols[:, None]  # [S(row), S(col)]; p==-1 never matches
+    r2c_normal = jnp.where(
+        jnp.any(oh, axis=1), jnp.sum(jnp.where(oh, cols[None, :], 0), axis=1), -1
+    )
     # flipped: p is indexed by cost.T's columns == original rows, so p IS r2c
     return jnp.where(flip, p[:s], r2c_normal)
 

@@ -186,9 +186,15 @@ def _match_stage(cost, rows, det_free, track_col, threshold, row_order, det_key,
         row_perm = _stable_perm(jnp.where(rows, row_order, imax))
         col_perm = _stable_perm(jnp.where(det_free_, det_key_, imax))
         c = matching_cost_matrix(cost, rows, det_free_, threshold)
-        c2 = c[row_perm][:, col_perm]  # row gather then column gather; a
-        # single 2-D-indexed gather here lowers to 4096 scalar fetches
-        # (measured 2x the whole tracker stage on v5e)
+        # permute the cost matrix with permutation MATMULS, not gathers:
+        # P_r @ c @ P_c^T is exact (0/1 factors, one nonzero per row-sum)
+        # and runs on the MXU; vmapped gathers under the batched class mode
+        # cost ~2.5 us each (~53 us/frame), a 2-D-indexed gather 4096 scalar
+        # fetches.
+        a_i = jnp.arange(k, dtype=jnp.int32)
+        p_r = (row_perm[:, None] == a_i[None, :]).astype(c.dtype)  # [K, K]
+        p_c = (col_perm[:, None] == a_i[None, :]).astype(c.dtype)
+        c2 = p_r @ c @ p_c.T
         r2c = solve_assignment_sub_fast(c2, nr, nc)  # permuted row -> permuted col
 
         a = jnp.arange(k)
@@ -499,18 +505,29 @@ def tracker_feature_post(gallery, pending, gallery_count, pending_count, flags, 
     """
     p_cap, b = hp.pending_cap, hp.budget
     k = gallery.shape[-3]
-    r = int(np.prod(pending.shape[:-2], dtype=np.int64)) if pending.ndim > 2 else 1
-    p_flat = pending.reshape((r,) + pending.shape[-2:])  # [R, P, F]
-    r_idx = jnp.arange(r, dtype=jnp.int32)
 
-    # (1) append matched features at min(count, P-1): one row scatter
+    # (1) append matched features at min(count, P-1), and (3) initiated
+    # slots start pending = [det feature]. Both as ONE fused one-hot select
+    # over the small [..., K, P, F] buffer (a slot is matched xor newly
+    # initiated, and the write positions are per-slot unique): scatters here
+    # cost ~20 us/frame EACH under the batched class mode's vmap and
+    # ~16 us/frame plain; the select pass is one read+write of ~4 MB.
     pend_pos = jnp.minimum(pending_count, p_cap - 1)
     gfeat = jnp.take_along_axis(
         f_n, jnp.clip(flags.gcol, 0, f_n.shape[-2] - 1)[..., None], axis=-2
     )  # [..., K, F]
-    app_pos = jnp.where(flags.matched, pend_pos, p_cap).reshape(r)  # P -> dropped
-    p_flat = p_flat.at[r_idx, app_pos].set(
-        gfeat.reshape(r, -1), mode="drop"
+    has_new = flags.src < k
+    newf = jnp.take_along_axis(
+        f_n, jnp.clip(flags.src, 0, f_n.shape[-2] - 1)[..., None], axis=-2
+    )  # [..., K, F]
+    p_i = jnp.arange(p_cap, dtype=jnp.int32)  # [P]
+    app_pos = jnp.where(flags.matched, pend_pos, p_cap)  # [..., K]; P = none
+    oh_app = app_pos[..., None] == p_i  # [..., K, P]
+    oh_new = jnp.where(has_new, 0, p_cap)[..., None] == p_i
+    pending = jnp.where(
+        oh_new[..., None],
+        newf[..., None, :],
+        jnp.where(oh_app[..., None], gfeat[..., None, :], pending),
     )
     pending_count = jnp.where(
         flags.matched, jnp.minimum(pending_count + 1, p_cap), pending_count
@@ -520,14 +537,6 @@ def tracker_feature_post(gallery, pending, gallery_count, pending_count, flags, 
     gallery_count = jnp.where(flags.delete, 0, gallery_count)
     pending_count = jnp.where(flags.delete, 0, pending_count)
 
-    # (3) initiated slots: pending = [det feature]
-    has_new = flags.src < k
-    newf = jnp.take_along_axis(
-        f_n, jnp.clip(flags.src, 0, f_n.shape[-2] - 1)[..., None], axis=-2
-    )  # [..., K, F]
-    new_pos = jnp.where(has_new, 0, p_cap).reshape(r)
-    p_flat = p_flat.at[r_idx, new_pos].set(newf.reshape(r, -1), mode="drop")
-    pending = p_flat.reshape(pending.shape)
     gallery_count = jnp.where(has_new, 0, gallery_count)
     pending_count = jnp.where(has_new, 1, pending_count)
 
