@@ -157,9 +157,12 @@ def _stable_perm(keys: jax.Array) -> jax.Array:
     lt = keys[:, None] > keys[None, :]
     tie = (keys[:, None] == keys[None, :]) & (idx[None, :] < idx[:, None])
     rank = jnp.sum(lt | tie, axis=1).astype(jnp.int32)
-    # invert rank -> perm with a one-hot reduce, not a scatter: scatters
-    # lower to per-lane loops under vmap (the batched class mode vmaps this)
-    return jnp.sum(jnp.where(rank[None, :] == idx[:, None], idx[None, :], 0), axis=1)
+    # invert rank -> perm as a permutation matmul, not a scatter (scatters
+    # lower to per-lane loops under vmap — the batched class mode vmaps
+    # this) and not an int select-reduce (measured 19 us/frame; the f32 dot
+    # rides the MXU and K <= 64 indices are exact in f32)
+    oh = (rank[None, :] == idx[:, None]).astype(jnp.float32)
+    return (oh @ idx.astype(jnp.float32)).astype(jnp.int32)
 
 
 def _match_stage(cost, rows, det_free, track_col, threshold, row_order, det_key, stage_base):
@@ -199,10 +202,15 @@ def _match_stage(cost, rows, det_free, track_col, threshold, row_order, det_key,
 
         a = jnp.arange(k)
         paired = (a < nr) & (r2c >= 0) & (r2c < nc)
-        cost_at = c2[a, jnp.clip(r2c, 0, k - 1)]
+        # read c2's per-row assigned cost and map permuted->original columns
+        # via one-hot reduces (vmapped gathers cost ~2.5 us each here,
+        # ~53 us/frame across the cascade; the [K, K] reduces are ~1 us and
+        # exact — one nonzero term per row)
+        oh_rc = jnp.clip(r2c, 0, k - 1)[:, None] == a[None, :]  # [K(row), K(col)]
+        cost_at = jnp.sum(jnp.where(oh_rc, c2, 0.0), axis=1)
         accept = paired & (cost_at <= threshold)
         reject = paired & ~accept
-        slot_col = col_perm[jnp.clip(r2c, 0, k - 1)]
+        slot_col = jnp.sum(jnp.where(oh_rc, col_perm[None, :], 0), axis=1)
 
         # All updates below are one-hot reduces over the permuted-row axis
         # `a` rather than scatters: a scatter lowers to a ~14 us per-lane
