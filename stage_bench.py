@@ -150,7 +150,7 @@ def main():
         def detect_only(params, fr):
             full = yuv420_content_to_full(fr, (H, W), det_hw)
             rgb = yuv420_to_rgb(full)
-            heads = yolov5_forward(params, rgb / 255.0, ycfg, dtype=jnp.bfloat16)
+            heads = yolov5_forward(params, (rgb / 255.0).astype(jnp.bfloat16), ycfg, dtype=jnp.bfloat16)
             dec = decode_predictions(heads, ycfg)
             det = batched_nms(
                 dec["boxes"], dec["scores"], dec["classes"],
@@ -173,7 +173,7 @@ def main():
         def fwd_only(params, fr):
             full = yuv420_content_to_full(fr, (H, W), det_hw)
             rgb = yuv420_to_rgb(full)
-            heads = yolov5_forward(params, rgb / 255.0, ycfg, dtype=jnp.bfloat16)
+            heads = yolov5_forward(params, (rgb / 255.0).astype(jnp.bfloat16), ycfg, dtype=jnp.bfloat16)
             # tiny reduction so the heads are consumed without the tail
             return [h.sum() for h in heads]
 
@@ -192,7 +192,7 @@ def main():
         def heads_only(params, fr):
             full = yuv420_content_to_full(fr, (H, W), det_hw)
             rgb = yuv420_to_rgb(full)
-            return yolov5_forward(params, rgb / 255.0, ycfg, dtype=jnp.bfloat16)
+            return yolov5_forward(params, (rgb / 255.0).astype(jnp.bfloat16), ycfg, dtype=jnp.bfloat16)
 
         heads = jax.block_until_ready(heads_only(yolo_params, frames))
 
