@@ -39,14 +39,19 @@ def main():
         variant, det_hw, src_hw_default, b_default = "yolov5m", (1024, 1024), (1080, 1920), 16
         metric = "e2e_detect_track_fps_per_chip_yolov5m1024"
     elif mode == "yolov5s_640":
-        variant, det_hw, src_hw_default, b_default = "yolov5s", (640, 640), (720, 1280), 32
+        # 128 is the measured v5e throughput knee (890 fps/chip device-
+        # resident vs 703 at B=32; B=256 regresses) — convs tile better and
+        # the batch-global embed/compaction fixed costs amortize
+        variant, det_hw, src_hw_default, b_default = "yolov5s", (640, 640), (720, 1280), 128
         metric = "e2e_detect_track_fps_per_chip_yolov5s640"
     else:
         raise SystemExit(f"unknown BENCH_MODE: {mode}")
 
     B = int(os.environ.get("BENCH_BATCH", str(b_default)))
     H, W = src_hw_default
-    N_BATCHES = int(os.environ.get("BENCH_BATCHES", "20"))
+    # scale window length so a window stays a few seconds even when the dev
+    # tunnel is slow (bytes/window grow with B)
+    N_BATCHES = int(os.environ.get("BENCH_BATCHES", str(max(4, 640 // B))))
 
     ycfg = YoloConfig(variant=variant, num_classes=80)
     yolo_params = jax.device_put(init_yolov5(jax.random.PRNGKey(0), ycfg))
