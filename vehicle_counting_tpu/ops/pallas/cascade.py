@@ -1,0 +1,458 @@
+"""Entire DeepSORT matching cascade + IoU stage as ONE Pallas TPU kernel.
+
+The association core previously launched one (grid-batched) Hungarian kernel
+per matching stage: each occupied cascade age level plus the IoU stage
+(tracking/tracker.py::_tracker_core). Per-launch fixed cost (~60 us on v5e)
+dominates these tiny solves, and under the batched class mode's vmap the
+stage-skip conds run both branches, so every union-occupied level pays a
+launch for every class. This kernel runs the WHOLE per-frame association —
+the age-level loop (linear_assignment.py:126-141 semantics), per-stage
+Hungarian solves with scipy tie-breaking, match acceptance/rejection
+(linear_assignment.py:58,69-76), unmatched-detection list reordering, and
+the IoU stage (tracker.py:117-127) — in a single launch, one grid step per
+class, with all state resident in VMEM.
+
+Equivalence with the staged XLA path (tracking/tracker.py::associate_xla),
+which is itself frame-exact against the reference:
+
+  * No compaction/permutation: the staged path physically permutes each
+    stage's cost submatrix so scipy's index-order tie-breaking applies
+    (rows by track order, columns by unmatched-list order). Here the solver
+    runs on the FULL [K, K] matrix with masks, and every place the compacted
+    index order mattered uses the ORDER KEY instead: Dijkstra's
+    first-minimum column scan breaks ties by minimum key (keys are unique),
+    and rows are inserted in ascending row-key order. The compacted and
+    masked solves are isomorphic under the rank bijection: identical costs
+    are compared and identical dual updates applied, so assignments —
+    including ties — are bitwise identical.
+  * scipy's transpose rule (insert the smaller side; linear_assignment
+    tie-break consequences) is handled branch-free: both cost and cost^T
+    are kernel inputs, the insertion loop loads its row from either and
+    selects, and the inserted/scanned role vectors swap via selects.
+  * Orientation changes (lane-indexed vectors <-> sublane-broadcast
+    matrices) use exact one-hot f32 matmuls (precision HIGHEST; every value
+    is a small integer, so the 3-way bf16 split reproduces it exactly) —
+    Mosaic has no vector transpose, and scatters/gathers are the exact ops
+    this kernel exists to avoid.
+
+Mosaic constraints (same as ops/pallas/assignment.py): 2-D 128-lane tiles,
+i32 masks in loop carries (i1 vectors fail scf.yield legalization), explicit
+first-minimum tie selects (Mosaic argmin returns the LAST tied index), no
+scatters — point updates are masked whole-vector selects.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = 1e18
+# cascade-level sentinel for empty slots: must survive an exact f32
+# round-trip (one orientation matmul), so 2^20, far above any real age level
+LVL_SENTINEL = 1 << 20
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _lanes_for(k: int) -> int:
+    """Lane count holding slots 0..K-1 plus the virtual root at lane K."""
+    return 128 * (-(-(k + 1) // 128))
+
+
+def _cascade_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
+                         meta_ref, thr_ref, out_ref, *, k: int, max_age: int):
+    """One class's full association. Refs are [1, ...] blocks (grid axis 0).
+
+    meta_ref [1, 8, L] i32 sublanes: 0 lvl_of (LVL_SENTINEL empty), 1
+    tentative, 2 crank (cascade row rank), 3 irank (IoU row rank), 4
+    det_order (initial det_key), 5 det_valid, 6-7 unused.
+    thr_ref SMEM [2] f32: [max_dist, max_iou_distance].
+    out_ref [1, 8, L] i32 sublanes: 0 out_row (det lane -> matched track,
+    -1 none), 1 det_free, 2 det_key, rest zero.
+    """
+    lanes = out_ref.shape[2]
+    root = k
+
+    lane_1L = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    sub_KL = jax.lax.broadcasted_iota(jnp.int32, (k, lanes), 0)
+    lane_KL = jax.lax.broadcasted_iota(jnp.int32, (k, lanes), 1)
+    eye_KL = (sub_KL == lane_KL).astype(jnp.float32)          # [K, L] diag mask
+    ones_LL = jnp.ones((lanes, lanes), jnp.float32)
+
+    def to_bcast(v_lane_i32):
+        """[1, L] i32 lane vector -> [K, L] i32 with out[r, :] = v[r].
+
+        diag(v) @ ones: each row-sum has exactly one nonzero term, and every
+        value is a small integer, so the f32 matmul is exact.
+        """
+        d = jnp.broadcast_to(v_lane_i32.astype(jnp.float32), (k, lanes)) * eye_KL
+        m = jax.lax.dot(d, ones_LL, precision=_HI)
+        return m.astype(jnp.int32)
+
+    def pick_i32(vec, j):
+        """vec[0, j] scalar via one-hot reduction (no dynamic lane slice)."""
+        return jnp.max(jnp.where(lane_1L == j, vec, jnp.int32(-2147483648)))
+
+    def pick_f32(vec, j):
+        return jnp.sum(jnp.where(lane_1L == j, vec, 0.0))
+
+    lvl_l = meta_ref[0, 0:1, :]
+    tent_l = meta_ref[0, 1:2, :]
+    crank_l = meta_ref[0, 2:3, :]
+    irank_l = meta_ref[0, 3:4, :]
+    dorder_l = meta_ref[0, 4:5, :]
+    dvalid_l = meta_ref[0, 5:6, :]
+
+    lvl_b = to_bcast(lvl_l)
+    tent_b = to_bcast(tent_l)
+    crank_b = to_bcast(crank_l)
+    irank_b = to_bcast(irank_l)
+
+    def solve(cost_ref, costT_ref, rows_l, rows_b, rkey_l, rkey_b, det_free_l,
+              det_key_l, thr):
+        """One min_cost_matching stage on masked full-lane matrices.
+
+        Returns p [1, L] i32 and flip_i i32 scalar: normal (flip 0) p maps
+        det lane -> inserted track orig (-1 free); flipped p maps track lane
+        -> det orig.
+        """
+        nr = jnp.sum(rows_l)
+        nc = jnp.sum(det_free_l)
+        flip = nr > nc
+        flip_i = flip.astype(jnp.int32)
+        n_ins = jnp.minimum(nr, nc)
+
+        free_b = to_bcast(det_free_l)
+        dkey_b = to_bcast(det_key_l)
+
+        # inserted-side rank among participants (ascending key, keys unique)
+        prank_b = jnp.sum(
+            jnp.where(
+                (jnp.broadcast_to(rows_l, (k, lanes)) != 0)
+                & (jnp.broadcast_to(rkey_l, (k, lanes)) < rkey_b),
+                1, 0,
+            ),
+            axis=1, keepdims=True,
+        )
+        drank_b = jnp.sum(
+            jnp.where(
+                (jnp.broadcast_to(det_free_l, (k, lanes)) != 0)
+                & (jnp.broadcast_to(det_key_l, (k, lanes)) < dkey_b),
+                1, 0,
+            ),
+            axis=1, keepdims=True,
+        )
+        ins_rank_b = jnp.broadcast_to(
+            jnp.where(flip, drank_b, prank_b), (k, lanes)
+        )
+        ins_part_b = jnp.where(flip, free_b, rows_b)
+
+        # scanned side: live lanes + tie-break key
+        live_l = jnp.where(flip, rows_l, det_free_l)
+        key_l = jnp.where(flip, rkey_l, det_key_l)
+
+        first_lane = lane_KL == 0
+
+        u0 = jnp.zeros((1, lanes), jnp.float32)
+        v0 = jnp.zeros((1, lanes), jnp.float32)
+        p0 = jnp.full((1, lanes), -1, jnp.int32)
+
+        def insert_row(pos, carry):
+            u, v, p = carry
+            sel = (ins_rank_b == pos) & (ins_part_b != 0) & first_lane
+            orig = jnp.max(jnp.where(sel, sub_KL, jnp.int32(-1)))
+            p = jnp.where(lane_1L == root, orig, p)
+
+            def dij_cond(st):
+                _, _, _, _, j0, _, _ = st
+                return pick_i32(p, j0) != -1
+
+            def dij_body(st):
+                u_, v_, minv, way, j0, used_i, hit_i = st
+                used_i = jnp.maximum(used_i, (lane_1L == j0).astype(jnp.int32))
+                used = used_i != 0
+                i0 = pick_i32(p, j0)
+                hit_i = jnp.maximum(hit_i, (lane_1L == i0).astype(jnp.int32))
+                row_n = cost_ref[0, pl.ds(i0, 1), :]
+                row_t = costT_ref[0, pl.ds(i0, 1), :]
+                cost_row = jnp.where(flip, row_t, row_n)
+                cur = cost_row - pick_f32(u_, i0) - v
+                better = (live_l != 0) & (~used) & (cur < minv)
+                minv = jnp.where(better, cur, minv)
+                way = jnp.where(better, j0, way)
+                masked = jnp.where(used | (live_l == 0), _INF, minv)
+                delta = jnp.min(masked)
+                # scipy scans columns in compacted (key) order: among tied
+                # minima pick the smallest KEY (keys unique among live lanes)
+                tied = masked == delta
+                kmin = jnp.min(jnp.where(tied, key_l, jnp.int32(2147483647)))
+                j1 = jnp.min(
+                    jnp.where(tied & (key_l == kmin), lane_1L, lanes)
+                ).astype(jnp.int32)
+                u_ = u_ + jnp.where(hit_i != 0, delta, 0.0)
+                v_ = v_ - jnp.where(used, delta, 0.0)
+                minv = jnp.where(used | (live_l == 0), minv, minv - delta)
+                return u_, v_, minv, way, j1, used_i, hit_i
+
+            st0 = (
+                u, v,
+                jnp.full((1, lanes), _INF, jnp.float32),
+                jnp.full((1, lanes), root, jnp.int32),
+                jnp.int32(root),
+                jnp.zeros((1, lanes), jnp.int32),
+                jnp.zeros((1, lanes), jnp.int32),
+            )
+            u, v, minv, way, j0, used, _ = jax.lax.while_loop(
+                dij_cond, dij_body, st0
+            )
+
+            def aug_cond(st):
+                j0_, _ = st
+                return j0_ != root
+
+            def aug_body(st):
+                j0_, p_ = st
+                j1 = pick_i32(way, j0_)
+                p_ = jnp.where(lane_1L == j0_, pick_i32(p_, j1), p_)
+                return j1, p_
+
+            _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
+            return u, v, p
+
+        _, _, p = jax.lax.fori_loop(0, n_ins, insert_row, (u0, v0, p0))
+        return p, flip_i
+
+    def stage(cost_ref, costT_ref, rows_l, rows_b, rkey_l, rkey_b, thr, base,
+              state):
+        det_free_l, det_key_l, out_row_l, matched_b = state
+        p, flip_i = solve(
+            cost_ref, costT_ref, rows_l, rows_b, rkey_l, rkey_b,
+            det_free_l, det_key_l, thr,
+        )
+        flip = flip_i != 0
+
+        # pair matrix B[r(sub), j(lane)] — both orientations of p covered.
+        # The select runs in i32: Mosaic cannot legalize arith.select on
+        # i1 vectors.
+        b_norm = (jnp.broadcast_to(p, (k, lanes)) == sub_KL).astype(jnp.int32)
+        b_flip = (to_bcast(p) == lane_KL).astype(jnp.int32)
+        B = jnp.where(flip, b_flip, b_norm) != 0
+        # the solver's root lane (K) can hold the last inserted element in p;
+        # it is not a real slot and must not form a pair
+        B = B & (lane_KL < k)
+
+        cost_mat = cost_ref[0, :, :]
+        cost_at = jnp.sum(jnp.where(B, cost_mat, 0.0), axis=0, keepdims=True)
+        paired = jnp.any(B, axis=0, keepdims=True)
+        accept = paired & (cost_at <= thr)
+        reject = paired & ~accept
+
+        accept_b = jnp.broadcast_to(accept, (k, lanes))
+        row_of = jnp.sum(jnp.where(B, sub_KL, 0), axis=0, keepdims=True)
+        out_row_l = jnp.where(accept, row_of, out_row_l)
+        det_free_l = jnp.where(accept, 0, det_free_l)
+        matched_b = jnp.maximum(
+            matched_b,
+            jnp.broadcast_to(
+                jnp.any(B & accept_b, axis=1, keepdims=True).astype(jnp.int32),
+                (k, lanes),
+            ),
+        )
+
+        # demote rejected detections: key = base*K + (rejection rank in the
+        # reference's ascending-row order == ascending row key among
+        # rejected rows; linear_assignment.py:69-76)
+        reject_b = jnp.broadcast_to(reject, (k, lanes))
+        rej_row_b = jnp.any(B & reject_b, axis=1, keepdims=True)  # [K, 1]
+        # lane view of the rejected-rows mask: diagonal extraction
+        rej_row_l = jnp.sum(
+            jnp.where(
+                sub_KL == lane_KL,
+                jnp.broadcast_to(rej_row_b, (k, lanes)).astype(jnp.int32),
+                0,
+            ),
+            axis=0, keepdims=True,
+        )
+        rejrank_b = jnp.sum(
+            jnp.where(
+                (jnp.broadcast_to(rej_row_l, (k, lanes)) != 0)
+                & (jnp.broadcast_to(rkey_l, (k, lanes)) < rkey_b),
+                1, 0,
+            ),
+            axis=1, keepdims=True,
+        )
+        rej_rank_det = jnp.sum(
+            jnp.where(B & reject_b, jnp.broadcast_to(rejrank_b, (k, lanes)), 0),
+            axis=0, keepdims=True,
+        )
+        det_key_l = jnp.where(reject, base * k + rej_rank_det, det_key_l)
+        return det_free_l, det_key_l, out_row_l, matched_b
+
+    # ---- cascade over occupied age levels --------------------------------
+    thr_c = thr_ref[0]
+    thr_i = thr_ref[1]
+
+    det_free0 = dvalid_l
+    det_key0 = dorder_l
+    out_row0 = jnp.full((1, lanes), -1, jnp.int32)
+    matched0 = jnp.zeros((k, lanes), jnp.int32)
+
+    first_level = jnp.min(lvl_l)
+
+    def level_cond(carry):
+        level, st = carry
+        return (level != LVL_SENTINEL) & (jnp.sum(st[0]) > 0)
+
+    def level_body(carry):
+        level, st = carry
+        rows_l = (lvl_l == level).astype(jnp.int32)
+        rows_b = (lvl_b == level).astype(jnp.int32)
+        st = stage(cost_c_ref, costT_c_ref, rows_l, rows_b, crank_l, crank_b,
+                   thr_c, 1 + level, st)
+        nxt = jnp.min(jnp.where(lvl_l > level, lvl_l, LVL_SENTINEL))
+        return nxt, st
+
+    _, st = jax.lax.while_loop(
+        level_cond, level_body,
+        (first_level, (det_free0, det_key0, out_row0, matched0)),
+    )
+
+    # ---- IoU stage (tracker.py:117-127) ----------------------------------
+    det_free_l, det_key_l, out_row_l, matched_b = st
+    matched_l = jnp.sum(
+        jnp.where(sub_KL == lane_KL, matched_b, 0), axis=0, keepdims=True
+    )
+    iou_rows_l = ((tent_l != 0) | ((lvl_l == 0) & (matched_l == 0))).astype(
+        jnp.int32
+    )
+    iou_rows_b = ((tent_b != 0) | ((lvl_b == 0) & (matched_b == 0))).astype(
+        jnp.int32
+    )
+    st = stage(cost_i_ref, costT_i_ref, iou_rows_l, iou_rows_b, irank_l,
+               irank_b, thr_i, 1 + max_age,
+               (det_free_l, det_key_l, out_row_l, matched_b))
+    det_free_l, det_key_l, out_row_l, _ = st
+
+    out_ref[0, 0:1, :] = out_row_l
+    out_ref[0, 1:2, :] = det_free_l
+    out_ref[0, 2:3, :] = det_key_l
+    out_ref[0, 3:8, :] = jnp.zeros((5, lanes), jnp.int32)
+
+
+def _cascade_pallas_batched(cost_c, costT_c, cost_i, costT_i, meta, thrs, *,
+                            max_age: int, interpret: bool = False):
+    """[C, K, L] problems, one launch, grid over the class axis."""
+    c, k, lanes = cost_c.shape
+    out = pl.pallas_call(
+        partial(_cascade_kernel_body, k=k, max_age=max_age),
+        grid=(c,),
+        out_shape=jax.ShapeDtypeStruct((c, 8, lanes), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((1, k, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(cost_c, costT_c, cost_i, costT_i, meta, thrs)
+    return out
+
+
+def _pad_lanes(m: jax.Array, lanes: int) -> jax.Array:
+    """Zero-pad the last axis to the lane count (dead lanes are mask-guarded,
+    so the pad value is never read into a comparison that matters; zero keeps
+    the f32 arithmetic NaN-free)."""
+    pad = [(0, 0)] * (m.ndim - 1) + [(0, lanes - m.shape[-1])]
+    return jnp.pad(m.astype(jnp.float32), pad)
+
+
+def _prep_inputs(gated_c, iou_c, lvl_of, tentative, crank, irank, det_valid,
+                 det_order, max_dist, max_iou):
+    """Batch [C, ...] association inputs -> kernel operand arrays."""
+    c, k, _ = gated_c.shape
+    lanes = _lanes_for(k)
+    cc = jnp.minimum(gated_c.astype(jnp.float32), max_dist + 1e-5)
+    ci = jnp.minimum(iou_c.astype(jnp.float32), max_iou + 1e-5)
+    cost_c = _pad_lanes(cc, lanes)
+    costT_c = _pad_lanes(jnp.swapaxes(cc, 1, 2), lanes)
+    cost_i = _pad_lanes(ci, lanes)
+    costT_i = _pad_lanes(jnp.swapaxes(ci, 1, 2), lanes)
+
+    def lane_pad(v, fill):
+        return jnp.pad(
+            v.astype(jnp.int32), ((0, 0), (0, lanes - k)), constant_values=fill
+        )
+
+    meta = jnp.stack(
+        [
+            lane_pad(lvl_of, LVL_SENTINEL),
+            lane_pad(tentative, 0),
+            lane_pad(crank, jnp.int32(2147483647)),
+            lane_pad(irank, jnp.int32(2147483647)),
+            lane_pad(det_order, jnp.int32(2147483647)),
+            lane_pad(det_valid, 0),
+            jnp.zeros((c, lanes), jnp.int32),
+            jnp.zeros((c, lanes), jnp.int32),
+        ],
+        axis=1,
+    )  # [C, 8, L]
+    thrs = jnp.asarray([max_dist, max_iou], jnp.float32)
+    return cost_c, costT_c, cost_i, costT_i, meta, thrs
+
+
+@partial(jax.jit, static_argnames=("max_age", "interpret"))
+def cascade_match_batched(gated_c, iou_c, lvl_of, tentative, crank, irank,
+                          det_valid, det_order, max_dist, max_iou, *,
+                          max_age: int, interpret: bool = False):
+    """Full cascade+IoU association for [C] classes in ONE kernel launch.
+
+    Args (all leading [C]): gated_c [C,K,K] cascade cost (appearance with
+    Mahalanobis gating, BIG at invalid), iou_c [C,K,K] IoU cost (with the
+    tsu>1 INFTY rule applied), lvl_of [C,K] i32 cascade level per track slot
+    (LVL_SENTINEL when not participating), tentative [C,K] bool, crank /
+    irank [C,K] i32 stable ranks of the cascade/IoU row orders, det_valid
+    [C,K] bool, det_order [C,K] i32 initial unmatched-list keys.
+
+    Returns (det_free [C,K] bool, det_key [C,K] i32, out_row [C,K] i32:
+    det slot -> matched track slot or -1).
+    """
+    k = gated_c.shape[1]
+    ops = _prep_inputs(gated_c, iou_c, lvl_of, tentative, crank, irank,
+                       det_valid, det_order, max_dist, max_iou)
+    out = _cascade_pallas_batched(*ops, max_age=max_age, interpret=interpret)
+    out_row = out[:, 0, :k]
+    det_free = out[:, 1, :k] != 0
+    det_key = out[:, 2, :k]
+    return det_free, det_key, out_row
+
+
+_SUPPORTED = None
+
+
+def pallas_cascade_supported() -> bool:
+    """Probe once whether this backend compiles + runs the fused kernel."""
+    global _SUPPORTED
+    if _SUPPORTED is None:
+        try:
+            k = 8
+            g = jnp.full((1, k, k), 0.1, jnp.float32)
+            i = jnp.full((1, k, k), 0.3, jnp.float32)
+            z = jnp.zeros((1, k), jnp.int32)
+            lvl = jnp.zeros((1, k), jnp.int32)
+            tent = jnp.zeros((1, k), jnp.int32)
+            rank = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (1, k))
+            valid = jnp.ones((1, k), jnp.int32)
+            r = cascade_match_batched(
+                g, i, lvl, tent, rank, rank, valid, rank, 0.2, 0.6, max_age=4
+            )
+            jax.block_until_ready(r)
+            _SUPPORTED = True
+        except Exception:
+            _SUPPORTED = False
+    return _SUPPORTED

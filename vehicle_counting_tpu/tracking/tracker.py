@@ -241,7 +241,166 @@ def _match_stage(cost, rows, det_free, track_col, threshold, row_order, det_key,
     return jax.lax.cond(do, solve, lambda a: a, (det_free, track_col, det_key))
 
 
-from functools import partial
+def _associate_xla(gated, iou_cost, lvl_of, tentative, track_id, iou_order,
+                   det_valid, det_order, hp):
+    """Staged association: one `_match_stage` (and, on TPU, one Pallas solver
+    launch) per occupied cascade level + one for the IoU stage.
+
+    Empty levels are no-ops in the reference too (matching_cascade's
+    `continue`, linear_assignment.py:133-135), so iterate ONLY the levels
+    where some confirmed track actually lives: start at min(lvl_of) and jump
+    to the next occupied level each step. With spread track ages the naive
+    level+1 walk costs ~2-4 us of loop control per EMPTY level on TPU.
+    """
+    k = gated.shape[0]
+    imax = jnp.iinfo(jnp.int32).max
+    det_free0 = det_valid
+    track_col0 = jnp.full((k,), -1, jnp.int32)
+    # init-order key: the detection's position in the (NMS pick-ordered)
+    # detection list; rejections demote (see _match_stage). stage_base
+    # starts at 1 so any demotion sorts last.
+    det_key0 = det_order
+    first_level = jnp.min(lvl_of)
+
+    def level_cond(carry):
+        level, det_free_, _, _ = carry
+        return (level != imax) & jnp.any(det_free_)
+
+    def level_body(carry):
+        level, det_free_, track_col_, det_key_ = carry
+        rows = lvl_of == level
+        det_free_, track_col_, det_key_ = _match_stage(
+            gated, rows, det_free_, track_col_, hp.max_dist,
+            track_id, det_key_, 1 + level,
+        )
+        next_level = jnp.min(jnp.where(lvl_of > level, lvl_of, imax))
+        return next_level, det_free_, track_col_, det_key_
+
+    _, det_free, track_col, det_key = jax.lax.while_loop(
+        level_cond, level_body, (first_level, det_free0, track_col0, det_key0)
+    )
+
+    # ---- IoU stage (tracker.py:117-127) ---------------------------------
+    iou_rows = tentative | ((lvl_of == 0) & (track_col < 0))
+    det_free, track_col, det_key = _match_stage(
+        iou_cost, iou_rows, det_free, track_col, hp.max_iou_distance,
+        iou_order, det_key, 1 + hp.max_age,
+    )
+    return det_free, track_col, det_key
+
+
+def _stable_rank(keys: jax.Array) -> jax.Array:
+    """rank[i] = position of i in a stable ascending sort of [K] i32 keys."""
+    k = keys.shape[0]
+    idx = jnp.arange(k, dtype=jnp.int32)
+    lt = keys[:, None] > keys[None, :]
+    tie = (keys[:, None] == keys[None, :]) & (idx[None, :] < idx[:, None])
+    return jnp.sum(lt | tie, axis=1).astype(jnp.int32)
+
+
+# None: auto (fused Pallas cascade kernel on TPU when the backend compiles
+# Mosaic); True: force (interpret mode off-TPU — used by CPU parity tests);
+# False: force the staged XLA path.
+FORCE_PALLAS_CASCADE = None
+
+
+def _cascade_kernel_mode(hp) -> str:
+    """'off' | 'compile' | 'interpret' — trace-time dispatch decision."""
+    # demoted det_key values (stage_base * K + rank) and ranks round-trip
+    # through exact f32 one-hot matmuls inside the kernel
+    if (hp.max_age + 2) * hp.capacity >= (1 << 22):
+        return "off"
+    if FORCE_PALLAS_CASCADE is False:
+        return "off"
+    if FORCE_PALLAS_CASCADE is True:
+        return "interpret"
+    if jax.default_backend() == "tpu":
+        try:
+            from vehicle_counting_tpu.ops.pallas.cascade import (
+                pallas_cascade_supported,
+            )
+
+            if pallas_cascade_supported():
+                return "compile"
+        except Exception:
+            pass
+    return "off"
+
+
+from functools import lru_cache, partial
+
+
+@lru_cache(maxsize=None)
+def _make_cascade_match(max_dist: float, max_iou: float, max_age: int,
+                        interpret: bool):
+    """custom_vmap fused-cascade entry: single class unbatched, one grid
+    kernel for all classes under the batched class mode's vmap."""
+    from vehicle_counting_tpu.ops.pallas.cascade import cascade_match_batched
+
+    @jax.custom_batching.custom_vmap
+    def match(gated, iou_cost, lvl_of, tentative, crank, irank, det_valid,
+              det_order):
+        det_free, det_key, out_row = cascade_match_batched(
+            gated[None], iou_cost[None], lvl_of[None], tentative[None],
+            crank[None], irank[None], det_valid[None], det_order[None],
+            max_dist, max_iou, max_age=max_age, interpret=interpret,
+        )
+        return det_free[0], det_key[0], out_row[0]
+
+    @match.def_vmap
+    def _vmap_rule(axis_size, in_batched, *args):
+        args = [
+            a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
+            for a, b in zip(args, in_batched)
+        ]
+        out = cascade_match_batched(
+            *args, max_dist, max_iou, max_age=max_age, interpret=interpret
+        )
+        return out, (True, True, True)
+
+    return match
+
+
+def _associate(gated, iou_cost, lvl_of, tentative, track_id, iou_order,
+               det_valid, det_order, hp):
+    """Cascade + IoU association -> (det_free, track_col, det_key).
+
+    Dispatches between the fused single-launch Pallas kernel
+    (ops/pallas/cascade.py — whole cascade resident in VMEM, one launch per
+    frame for ALL classes under vmap) and the staged XLA path (one solver
+    call per stage). Both produce identical results; the decision is made at
+    trace time from the backend.
+    """
+    mode = _cascade_kernel_mode(hp)
+    if mode == "off":
+        return _associate_xla(gated, iou_cost, lvl_of, tentative, track_id,
+                              iou_order, det_valid, det_order, hp)
+
+    from vehicle_counting_tpu.ops.pallas.cascade import LVL_SENTINEL
+
+    k = gated.shape[0]
+    match = _make_cascade_match(
+        float(hp.max_dist), float(hp.max_iou_distance), int(hp.max_age),
+        mode == "interpret",
+    )
+    det_free, det_key, out_row = match(
+        gated,
+        iou_cost,
+        jnp.minimum(lvl_of, LVL_SENTINEL),
+        tentative.astype(jnp.int32),
+        _stable_rank(track_id),
+        _stable_rank(iou_order),
+        det_valid.astype(jnp.int32),
+        det_order,
+    )
+    # invert det slot -> track slot into per-track matched column (one-hot
+    # reduce, not a scatter; each track appears in at most one out_row entry)
+    a = jnp.arange(k, dtype=jnp.int32)
+    oh = out_row[None, :] == a[:, None]  # [K(track), K(det)]
+    track_col = jnp.where(
+        jnp.any(oh, axis=1), jnp.sum(jnp.where(oh, a[None, :], 0), axis=1), -1
+    )
+    return det_free, track_col, det_key
 
 
 def tracker_precompute(st: TrackerState, tlwh, feat, det_valid, hp: TrackerParams):
@@ -339,57 +498,19 @@ def _tracker_core(st, pre, tlwh, conf, det_valid, hp, width, height, det_order):
     det_xyah = tlwh_to_xyah(tlwh)
 
     confirmed = st.state == CONFIRMED
-
-    # ---- matching cascade over age levels ----------------------------------
-    det_free0 = det_valid
-    track_col0 = jnp.full((k,), -1, jnp.int32)
-    # init-order key: the detection's position in the (NMS pick-ordered)
-    # detection list; rejections demote (see _match_stage). stage_base
-    # starts at 1 so any demotion sorts last.
-    det_key0 = det_order
-
-    # level L matches tracks with tsu == 1 + L. Empty levels are no-ops in
-    # the reference too (matching_cascade's `continue` when no tracks sit at
-    # a level, linear_assignment.py:133-135), so iterate ONLY the levels
-    # where some confirmed track actually lives: start at min(tsu) - 1 and
-    # jump to the next occupied level each step. With spread track ages the
-    # naive level+1 walk costs ~2-4 us of loop control per EMPTY level on
-    # TPU (while-cond reduce + skipped-cond overhead), up to max_age levels.
-    imax = jnp.iinfo(jnp.int32).max
-    lvl_of = jnp.where(
-        confirmed & (tsu <= hp.max_age), tsu - 1, imax
-    )  # each confirmed track's cascade level (cascade depth = max_age)
-    first_level = jnp.min(lvl_of)
-
-    def level_cond(carry):
-        level, det_free_, _, _ = carry
-        return (level != imax) & jnp.any(det_free_)
-
-    def level_body(carry):
-        level, det_free_, track_col_, det_key_ = carry
-        rows = confirmed & (tsu == 1 + level)
-        det_free_, track_col_, det_key_ = _match_stage(
-            gated, rows, det_free_, track_col_, hp.max_dist,
-            st.track_id, det_key_, 1 + level,
-        )
-        next_level = jnp.min(jnp.where(lvl_of > level, lvl_of, imax))
-        return next_level, det_free_, track_col_, det_key_
-
-    _, det_free, track_col, det_key = jax.lax.while_loop(
-        level_cond, level_body, (first_level, det_free0, track_col0, det_key0)
-    )
-
-    # ---- IoU stage (tracker.py:117-127) -------------------------------------
     tentative = st.state == TENTATIVE
-    iou_rows = tentative | (confirmed & (track_col < 0) & (tsu == 1))
+    imax = jnp.iinfo(jnp.int32).max
+    # level L matches tracks with tsu == 1 + L (cascade depth = max_age)
+    lvl_of = jnp.where(confirmed & (tsu <= hp.max_age), tsu - 1, imax)
     iou_cost = 1.0 - tlwh_iou_matrix(kalman.to_tlwh(mean), tlwh)
     iou_cost = jnp.where(tsu[:, None] > 1, INFTY_COST, iou_cost)  # iou_matching.py:73-76
     # row order in the reference's IoU stage: unconfirmed tracks first
     # (tracker.py:117-121), each group in track-list (= id) order.
     iou_order = st.track_id + jnp.where(confirmed, 1 << 20, 0)
-    det_free, track_col, det_key = _match_stage(
-        iou_cost, iou_rows, det_free, track_col, hp.max_iou_distance,
-        iou_order, det_key, 1 + hp.max_age,
+
+    det_free, track_col, det_key = _associate(
+        gated, iou_cost, lvl_of, tentative, st.track_id, iou_order,
+        det_valid, det_order, hp,
     )
 
     # ---- matched: KF update + lifecycle (track.py:129-148) ------------------
