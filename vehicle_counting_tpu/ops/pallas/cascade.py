@@ -154,7 +154,11 @@ def _cascade_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
         live_l = jnp.where(flip, rows_l, det_free_l)
         key_l = jnp.where(flip, rkey_l, det_key_l)
 
-        first_lane = lane_KL == 0
+        # insertion order as ONE lane vector (ins_orig[pos] = orig index of
+        # the pos-th inserted element), so each insertion does a single
+        # [1, L] one-hot pick instead of two [K, L] reduces
+        sel_m = (ins_rank_b == lane_KL) & (ins_part_b != 0)
+        ins_orig = jnp.sum(jnp.where(sel_m, sub_KL, 0), axis=0, keepdims=True)
 
         u0 = jnp.zeros((1, lanes), jnp.float32)
         v0 = jnp.zeros((1, lanes), jnp.float32)
@@ -162,8 +166,7 @@ def _cascade_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
 
         def insert_row(pos, carry):
             u, v, p = carry
-            sel = (ins_rank_b == pos) & (ins_part_b != 0) & first_lane
-            orig = jnp.max(jnp.where(sel, sub_KL, jnp.int32(-1)))
+            orig = pick_i32(ins_orig, pos)
             p = jnp.where(lane_1L == root, orig, p)
 
             def dij_cond(st):
