@@ -63,7 +63,8 @@ def _lanes_for(k: int) -> int:
 
 
 def _cascade_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
-                         meta_ref, thr_ref, out_ref, *, k: int, max_age: int):
+                         meta_ref, thr_ref, out_ref, mat_ref, *, k: int,
+                         max_age: int):
     """One class's full association. Refs are [1, ...] blocks (grid axis 0).
 
     meta_ref [1, 8, L] i32 sublanes: 0 lvl_of (LVL_SENTINEL empty), 1
@@ -72,9 +73,13 @@ def _cascade_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
     thr_ref SMEM [2] f32: [max_dist, max_iou_distance].
     out_ref [1, 8, L] i32 sublanes: 0 out_row (det lane -> matched track,
     -1 none), 1 det_free, 2 det_key, rest zero.
+    mat_ref [K, L] f32 VMEM scratch: the stage's flip-selected cost matrix,
+    copied once per stage so the Dijkstra inner loop does ONE dynamic row
+    load per iteration instead of loading both orientations and selecting.
     """
     lanes = out_ref.shape[2]
     root = k
+    assert k <= 256, "bf16 1-pass one-hot transposes are exact only to 256"
 
     lane_1L = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     sub_KL = jax.lax.broadcasted_iota(jnp.int32, (k, lanes), 0)
@@ -82,14 +87,17 @@ def _cascade_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
     eye_KL = (sub_KL == lane_KL).astype(jnp.float32)          # [K, L] diag mask
     ones_LL = jnp.ones((lanes, lanes), jnp.float32)
 
-    def to_bcast(v_lane_i32):
+    def to_bcast(v_lane_i32, big: bool = True):
         """[1, L] i32 lane vector -> [K, L] i32 with out[r, :] = v[r].
 
-        diag(v) @ ones: each row-sum has exactly one nonzero term, and every
-        value is a small integer, so the f32 matmul is exact.
+        diag(v) @ ones: each row-sum has exactly one nonzero term, so the
+        matmul is exact as long as the values survive the MXU input
+        rounding. Small ints (masks, ranks, slot indices — all <= K <= 256)
+        are exact in ONE bf16 pass (8 precision bits); values that can
+        exceed 256 (demoted det keys) take the 3-way-split HIGHEST path.
         """
         d = jnp.broadcast_to(v_lane_i32.astype(jnp.float32), (k, lanes)) * eye_KL
-        m = jax.lax.dot(d, ones_LL, precision=_HI)
+        m = jax.lax.dot(d, ones_LL, precision=_HI if big else None)
         return m.astype(jnp.int32)
 
     def pick_i32(vec, j):
@@ -106,10 +114,8 @@ def _cascade_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
     dorder_l = meta_ref[0, 4:5, :]
     dvalid_l = meta_ref[0, 5:6, :]
 
-    lvl_b = to_bcast(lvl_l)
-    tent_b = to_bcast(tent_l)
-    crank_b = to_bcast(crank_l)
-    irank_b = to_bcast(irank_l)
+    crank_b = to_bcast(crank_l, big=False)
+    irank_b = to_bcast(irank_l, big=False)
 
     def solve(cost_ref, costT_ref, rows_l, rows_b, rkey_l, rkey_b, det_free_l,
               det_key_l, thr):
@@ -125,8 +131,12 @@ def _cascade_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
         flip_i = flip.astype(jnp.int32)
         n_ins = jnp.minimum(nr, nc)
 
-        free_b = to_bcast(det_free_l)
-        dkey_b = to_bcast(det_key_l)
+        free_b = to_bcast(det_free_l, big=False)
+        dkey_b = to_bcast(det_key_l, big=True)  # demoted keys reach base*K
+
+        # one copy of the orientation the insertion loop will scan; the
+        # Dijkstra body then does a single dynamic row load per iteration
+        mat_ref[...] = jnp.where(flip, costT_ref[0, :, :], cost_ref[0, :, :])
 
         # inserted-side rank among participants (ascending key, keys unique)
         prank_b = jnp.sum(
@@ -179,9 +189,7 @@ def _cascade_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
                 used = used_i != 0
                 i0 = pick_i32(p, j0)
                 hit_i = jnp.maximum(hit_i, (lane_1L == i0).astype(jnp.int32))
-                row_n = cost_ref[0, pl.ds(i0, 1), :]
-                row_t = costT_ref[0, pl.ds(i0, 1), :]
-                cost_row = jnp.where(flip, row_t, row_n)
+                cost_row = mat_ref[pl.ds(i0, 1), :]
                 cur = cost_row - pick_f32(u_, i0) - v
                 better = (live_l != 0) & (~used) & (cur < minv)
                 minv = jnp.where(better, cur, minv)
@@ -241,7 +249,7 @@ def _cascade_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
         # The select runs in i32: Mosaic cannot legalize arith.select on
         # i1 vectors.
         b_norm = (jnp.broadcast_to(p, (k, lanes)) == sub_KL).astype(jnp.int32)
-        b_flip = (to_bcast(p) == lane_KL).astype(jnp.int32)
+        b_flip = (to_bcast(p, big=False) == lane_KL).astype(jnp.int32)
         B = jnp.where(flip, b_flip, b_norm) != 0
         # the solver's root lane (K) can hold the last inserted element in p;
         # it is not a real slot and must not form a pair
@@ -312,7 +320,7 @@ def _cascade_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
     def level_body(carry):
         level, st = carry
         rows_l = (lvl_l == level).astype(jnp.int32)
-        rows_b = (lvl_b == level).astype(jnp.int32)
+        rows_b = to_bcast(rows_l, big=False)
         st = stage(cost_c_ref, costT_c_ref, rows_l, rows_b, crank_l, crank_b,
                    thr_c, 1 + level, st)
         nxt = jnp.min(jnp.where(lvl_l > level, lvl_l, LVL_SENTINEL))
@@ -331,9 +339,7 @@ def _cascade_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
     iou_rows_l = ((tent_l != 0) | ((lvl_l == 0) & (matched_l == 0))).astype(
         jnp.int32
     )
-    iou_rows_b = ((tent_b != 0) | ((lvl_b == 0) & (matched_b == 0))).astype(
-        jnp.int32
-    )
+    iou_rows_b = to_bcast(iou_rows_l, big=False)
     st = stage(cost_i_ref, costT_i_ref, iou_rows_l, iou_rows_b, irank_l,
                irank_b, thr_i, 1 + max_age,
                (det_free_l, det_key_l, out_row_l, matched_b))
@@ -362,6 +368,7 @@ def _cascade_pallas_batched(cost_c, costT_c, cost_i, costT_i, meta, thrs, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((k, lanes), jnp.float32)],
         interpret=interpret,
     )(cost_c, costT_c, cost_i, costT_i, meta, thrs)
     return out

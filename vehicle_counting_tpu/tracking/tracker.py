@@ -193,11 +193,15 @@ def _match_stage(cost, rows, det_free, track_col, threshold, row_order, det_key,
         # P_r @ c @ P_c^T is exact (0/1 factors, one nonzero per row-sum)
         # and runs on the MXU; vmapped gathers under the batched class mode
         # cost ~2.5 us each (~53 us/frame), a 2-D-indexed gather 4096 scalar
-        # fetches.
+        # fetches. Precision MUST be HIGHEST: the permutation factors are
+        # exact in bf16 but the COST VALUES are not, and the TPU's default
+        # single-pass bf16 matmul truncates them (measured: flipped 2/48
+        # random association scenarios vs the CPU/fused-kernel semantics).
         a_i = jnp.arange(k, dtype=jnp.int32)
         p_r = (row_perm[:, None] == a_i[None, :]).astype(c.dtype)  # [K, K]
         p_c = (col_perm[:, None] == a_i[None, :]).astype(c.dtype)
-        c2 = p_r @ c @ p_c.T
+        hi = jax.lax.Precision.HIGHEST
+        c2 = jnp.matmul(jnp.matmul(p_r, c, precision=hi), p_c.T, precision=hi)
         r2c = solve_assignment_sub_fast(c2, nr, nc)  # permuted row -> permuted col
 
         a = jnp.arange(k)
