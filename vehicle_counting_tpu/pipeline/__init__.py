@@ -205,6 +205,7 @@ class CountingPipeline:
             content_upload_exact,
             host_letterbox_yuv420,
         )
+        from vehicle_counting_tpu.utils.transfer import parallel_device_put
 
         # ship only the letterbox content rows when that's bit-exact (~1.8x
         # less transfer at 720p->640; the device re-inserts the gray padding)
@@ -227,7 +228,7 @@ class CountingPipeline:
                         frames, self.image_size, content_only=content_only
                     )
             with timer.stage("upload"):
-                fdev = jax.device_put(frames)
+                fdev = parallel_device_put(frames)
             return fdev, frame_ids, valid
 
         def drain(pending):

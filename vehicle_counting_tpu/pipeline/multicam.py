@@ -116,7 +116,9 @@ class MultiCamCountingPipeline:
                     done[i] = True
             if not valid.any():
                 return None
-            return jax.device_put(frames), ids, valid
+            from vehicle_counting_tpu.utils.transfer import parallel_device_put
+
+            return parallel_device_put(frames), ids, valid
 
         def drain(pending):
             touts, ids = pending
