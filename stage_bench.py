@@ -68,7 +68,7 @@ def main():
                     help="capture a jax.profiler trace of each measured stage")
     ap.add_argument("--reid_dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--max_embed", type=int, default=64, help="ReID crops per CNN forward")
-    ap.add_argument("--class_mode", default="scan", choices=["scan", "batched"])
+    ap.add_argument("--class_mode", default="batched", choices=["scan", "batched"])
     ap.add_argument("--num_classes", type=int, default=4)
     args = ap.parse_args()
 
@@ -82,14 +82,15 @@ def main():
     from functools import partial
 
     from vehicle_counting_tpu.models.reid import init_reid
+    from vehicle_counting_tpu.models.detector import fused_detect_tail
     from vehicle_counting_tpu.models.yolo import (
-        YoloConfig, decode_predictions, init_yolov5, yolov5_forward,
+        YoloConfig, init_yolov5, yolov5_forward,
     )
     from vehicle_counting_tpu.ops.letterbox import (
         host_letterbox_yuv420, letterbox_params, restore_boxes,
         yuv420_content_to_full, yuv420_to_rgb,
     )
-    from vehicle_counting_tpu.ops.nms import batched_nms
+
     from vehicle_counting_tpu.pipeline.step import pipeline_batch_step
     from vehicle_counting_tpu.tracking import DeepSortParams, TrackerParams, init_states
     from vehicle_counting_tpu.tracking.deepsort import (
@@ -151,10 +152,8 @@ def main():
             full = yuv420_content_to_full(fr, (H, W), det_hw)
             rgb = yuv420_to_rgb(full)
             heads = yolov5_forward(params, (rgb / 255.0).astype(jnp.bfloat16), ycfg, dtype=jnp.bfloat16)
-            dec = decode_predictions(heads, ycfg)
-            det = batched_nms(
-                dec["boxes"], dec["scores"], dec["classes"],
-                iou_threshold=0.45, score_threshold=0.25, max_det=300,
+            det = fused_detect_tail(
+                heads, ycfg, conf_thres=0.25, iou_thres=0.45, max_det=300,
             )
             det["boxes"] = restore_boxes(det["boxes"], (H, W), det_hw)
             return det
@@ -198,10 +197,8 @@ def main():
 
         @jax.jit
         def tail_only(heads):
-            dec = decode_predictions(heads, ycfg)
-            det = batched_nms(
-                dec["boxes"], dec["scores"], dec["classes"],
-                iou_threshold=0.45, score_threshold=0.25, max_det=300,
+            det = fused_detect_tail(
+                heads, ycfg, conf_thres=0.25, iou_thres=0.45, max_det=300,
             )
             det["boxes"] = restore_boxes(det["boxes"], (H, W), det_hw)
             return det

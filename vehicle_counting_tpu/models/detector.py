@@ -19,17 +19,101 @@ import numpy as np
 
 from vehicle_counting_tpu.models.yolo import (
     YoloConfig,
-    decode_predictions,
     init_yolov5,
     yolov5_forward,
 )
 from vehicle_counting_tpu.ops.letterbox import letterbox, restore_boxes
-from vehicle_counting_tpu.ops.nms import batched_nms
+from vehicle_counting_tpu.ops.nms import nms_selected
 
 # COCO -> vehicle-class mapping the reference CLI defines (run.py:38-46):
 # person/bicycle/motorcycle->motorcycle(0), car->car(1), bus->bus(2), truck->truck(3)
 COCO_VEHICLE_MAPPING: Dict[int, int] = {0: 0, 1: 0, 2: 1, 3: 0, 5: 2, 7: 3}
 VEHICLE_CLASS_NAMES: Tuple[str, ...] = ("motorbike", "car", "bus", "truck")
+
+
+def fused_detect_tail(
+    heads,
+    cfg: YoloConfig,
+    *,
+    conf_thres: float,
+    iou_thres: float,
+    max_det: int,
+    pre_nms_topk: int = 512,
+) -> Dict[str, jax.Array]:
+    """Decode + class-aware NMS with box decode DEFERRED past the top-k.
+
+    Bit-identical outputs to `decode_predictions` + `batched_nms` (tested in
+    tests/test_detect_tail.py), but cheaper on TPU: scores for all A anchors
+    need only sigmoid(obj) * sigmoid(max cls logit) — a plain max reduce —
+    so the [B, A, 4] box decode, the A-wide class ARGMAX (a variadic
+    (value, index) reduce, ~3x a plain max on v5e), and their intermediate
+    materializations run on just the pre_nms_topk survivors. Grid/stride
+    per candidate are recovered arithmetically from the anchor index
+    (3-entry table gathers); anchors from a [nh*na, 2] table.
+
+    Exactness: bf16->f32 casts are exact, sigmoid is monotone (argmax/max
+    commute with it), lax.top_k ties break by lower index on the same score
+    array, and the per-candidate decode applies the same f32 ops in the same
+    order as decode_predictions — so every output matches bitwise.
+    """
+    na, no = cfg.na, cfg.no
+    raws, shapes = [], []
+    for head in heads:
+        b, h, w, _ = head.shape
+        raws.append(head.reshape(b, h * w * na, no))
+        shapes.append((h, w))
+    raw = jnp.concatenate(raws, axis=1)  # [B, A, no] conv compute dtype
+    a_total = raw.shape[1]
+
+    obj = jax.nn.sigmoid(raw[..., 4].astype(jnp.float32))
+    cls_max = jnp.max(raw[..., 5:], axis=-1)  # native dtype reduce
+    scores = obj * jax.nn.sigmoid(cls_max.astype(jnp.float32))  # [B, A]
+
+    # host-side per-head metadata (numpy: no device constants at trace time)
+    offs = [0]
+    for (h, w) in shapes:
+        offs.append(offs[-1] + h * w * na)
+    off_tbl = np.asarray(offs[:-1], np.int32)
+    w_tbl = np.asarray([w for (_, w) in shapes], np.int32)
+    st_tbl = np.asarray([float(s) for s in cfg.strides], np.float32)
+    anc_tbl = np.asarray(cfg.anchors, np.float32).reshape(-1, 2)  # [nh*na, 2]
+
+    def per_image(raw_i, sc):
+        conf_ok = sc > conf_thres
+        sc_m = jnp.where(conf_ok, sc, -1.0)
+        k = min(pre_nms_topk, a_total)
+        top_sc, idx = jax.lax.top_k(sc_m, k)
+        valid = top_sc > 0
+
+        rows = raw_i[idx]  # [k, no] row gather, conv dtype
+        cl_k = jnp.argmax(rows[:, 5:], axis=-1).astype(jnp.int32)
+        s_xywh = jax.nn.sigmoid(rows[:, 0:4].astype(jnp.float32))
+
+        # which head each candidate came from, then its grid cell/anchor
+        h_id = jnp.zeros_like(idx)
+        for o in offs[1:-1]:
+            h_id = h_id + (idx >= o).astype(idx.dtype)
+        jj = idx - jnp.asarray(off_tbl)[h_id]
+        ww = jnp.asarray(w_tbl)[h_id]
+        stride = jnp.asarray(st_tbl)[h_id]
+        cell = jj // na
+        gx = (cell % ww).astype(jnp.float32)
+        gy = (cell // ww).astype(jnp.float32)
+        anc = jnp.asarray(anc_tbl)[h_id * na + (jj % na)]  # [k, 2]
+
+        # same f32 expression order as decode_predictions
+        x = (s_xywh[:, 0] * 2.0 - 0.5 + gx) * stride
+        y = (s_xywh[:, 1] * 2.0 - 0.5 + gy) * stride
+        wh = jnp.square(s_xywh[:, 2:4] * 2.0) * anc
+        x1 = x - wh[:, 0] / 2
+        y1 = y - wh[:, 1] / 2
+        bx_k = jnp.stack([x1, y1, x1 + wh[:, 0], y1 + wh[:, 1]], axis=-1)
+        return nms_selected(
+            bx_k, top_sc, cl_k, valid,
+            iou_threshold=iou_thres, max_det=max_det,
+        )
+
+    return jax.vmap(per_image)(raw, scores)
 
 
 @partial(
@@ -55,14 +139,9 @@ def detect_step(
     """
     imgs = letterbox(frames, image_size)
     heads = yolov5_forward(params, imgs, cfg, dtype=dtype)
-    dec = decode_predictions(heads, cfg)
-    out = batched_nms(
-        dec["boxes"],
-        dec["scores"],
-        dec["classes"],
-        iou_threshold=iou_thres,
-        score_threshold=conf_thres,
-        max_det=max_det,
+    out = fused_detect_tail(
+        heads, cfg,
+        conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
     )
     out["boxes"] = restore_boxes(out["boxes"], src_hw, image_size) * out["valid"][..., None]
     return out

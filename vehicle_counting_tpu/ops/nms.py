@@ -59,6 +59,44 @@ def greedy_suppress(overlap: jax.Array, valid: jax.Array, threshold) -> jax.Arra
     return keep
 
 
+def nms_selected(bx_k, top_sc, cl_k, valid, *, iou_threshold, max_det: int):
+    """Class-aware NMS over an already top-k-selected candidate set.
+
+    Inputs are ONE image's k score-sorted candidates (descending, invalid
+    rows carry score -1): boxes [k, 4] xyxy, scores [k], classes [k] i32,
+    valid [k] bool. Returns the same fixed-shape dict as `batched_nms`
+    (boxes/scores/classes/valid, max_det rows, zero-padded). Shared by
+    `batched_nms` and the fused decode+NMS tail (models/detector.py), which
+    defers box decode/argmax until after its top-k.
+    """
+    k = bx_k.shape[0]
+    # class-aware via coordinate offset, one shared IoU matrix
+    off = cl_k.astype(jnp.float32)[:, None] * MAX_WH
+    iou = iou_matrix(bx_k + off, bx_k + off)
+    keep = greedy_suppress(iou, valid, iou_threshold)
+
+    kept_sc = jnp.where(keep, top_sc, -1.0)
+    out_k = min(max_det, k)
+    out_sc, oidx = jax.lax.top_k(kept_sc, out_k)
+    out_valid = out_sc > 0
+    zero = ~out_valid
+    pad = max_det - out_k
+    out = {
+        "boxes": jnp.where(zero[:, None], 0.0, bx_k[oidx]),
+        "scores": jnp.where(zero, 0.0, out_sc),
+        "classes": jnp.where(zero, -1, cl_k[oidx]).astype(jnp.int32),
+        "valid": out_valid,
+    }
+    if pad:
+        out = {
+            "boxes": jnp.pad(out["boxes"], ((0, pad), (0, 0))),
+            "scores": jnp.pad(out["scores"], (0, pad)),
+            "classes": jnp.pad(out["classes"], (0, pad), constant_values=-1),
+            "valid": jnp.pad(out["valid"], (0, pad)),
+        }
+    return out
+
+
 @partial(jax.jit, static_argnames=("max_det", "pre_nms_topk"))
 def batched_nms(
     boxes: jax.Array,
@@ -88,35 +126,11 @@ def batched_nms(
         sc_m = jnp.where(conf_ok, sc, -1.0)
         k = min(pre_nms_topk, sc.shape[0])
         top_sc, idx = jax.lax.top_k(sc_m, k)
-        bx_k = bx[idx]
-        cl_k = cl[idx]
         valid = top_sc > 0
-
-        # class-aware via coordinate offset, one shared IoU matrix
-        off = cl_k.astype(jnp.float32)[:, None] * MAX_WH
-        iou = iou_matrix(bx_k + off, bx_k + off)
-        keep = greedy_suppress(iou, valid, iou_threshold)
-
-        kept_sc = jnp.where(keep, top_sc, -1.0)
-        out_k = min(max_det, k)
-        out_sc, oidx = jax.lax.top_k(kept_sc, out_k)
-        out_valid = out_sc > 0
-        zero = ~out_valid
-        pad = max_det - out_k
-        out = {
-            "boxes": jnp.where(zero[:, None], 0.0, bx_k[oidx]),
-            "scores": jnp.where(zero, 0.0, out_sc),
-            "classes": jnp.where(zero, -1, cl_k[oidx]).astype(jnp.int32),
-            "valid": out_valid,
-        }
-        if pad:
-            out = {
-                "boxes": jnp.pad(out["boxes"], ((0, pad), (0, 0))),
-                "scores": jnp.pad(out["scores"], (0, pad)),
-                "classes": jnp.pad(out["classes"], (0, pad), constant_values=-1),
-                "valid": jnp.pad(out["valid"], (0, pad)),
-            }
-        return out
+        return nms_selected(
+            bx[idx], top_sc, cl[idx], valid,
+            iou_threshold=iou_threshold, max_det=max_det,
+        )
 
     return jax.vmap(per_image)(boxes, scores, classes)
 

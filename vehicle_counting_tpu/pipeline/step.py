@@ -21,9 +21,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from vehicle_counting_tpu.models.yolo import YoloConfig, decode_predictions, yolov5_forward
+from vehicle_counting_tpu.models.detector import fused_detect_tail
+from vehicle_counting_tpu.models.yolo import YoloConfig, yolov5_forward
 from vehicle_counting_tpu.ops.letterbox import letterbox, restore_boxes
-from vehicle_counting_tpu.ops.nms import batched_nms
 from vehicle_counting_tpu.tracking.deepsort import (
     DeepSortParams,
     deepsort_frame_core,
@@ -105,10 +105,9 @@ def pipeline_batch_step(
             out_hw=src_hw,
         )
     heads = yolov5_forward(yolo_params, imgs, ycfg, dtype=dtype)
-    dec = decode_predictions(heads, ycfg)
-    det = batched_nms(
-        dec["boxes"], dec["scores"], dec["classes"],
-        iou_threshold=iou_thres, score_threshold=conf_thres, max_det=max_det,
+    det = fused_detect_tail(
+        heads, ycfg,
+        conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
     )
     det["boxes"] = restore_boxes(det["boxes"], src_hw, image_size)
 

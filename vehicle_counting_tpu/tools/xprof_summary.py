@@ -74,6 +74,16 @@ def main(argv=None):
         if t / total > 0.005:
             print(f"  {t / div:10.1f} {unit}  {c}")
 
+    print("\n== by source line (top 30) ==")
+    byline = defaultdict(float)
+    for row in rows:
+        src = re.search(r"title='([^']*)'", str(row[i_src] or ""))
+        key = (src.group(1).splitlines() or [""])[0] if src else "(unattributed)"
+        byline[key] += row[i_self] or 0
+    for k, t in sorted(byline.items(), key=lambda kv: -kv[1])[:30]:
+        if t / total > 0.003:
+            print(f"  {t / div:10.1f} {unit}  {k}")
+
     print(f"\n== top {args.top} ops by self time ==")
     rows.sort(key=lambda r: -(r[i_self] or 0))
     for row in rows[: args.top]:

@@ -320,12 +320,35 @@ def deepsort_frame_core(
         # reference's per-class skip semantics survive exactly: vmap turns
         # the present/needed-level conds into masked selects, and absent
         # classes' solves degenerate to nc=0 (zero insertions).
-        st_new, outputs = jax.vmap(
-            lambda st, t, s, f, v, pres, ordr: tracker_step.__wrapped__(
-                st, t, s, f, v, hp.tracker, width, height,
-                present=pres, det_order=ordr,
+        #
+        # The big feature buffers stay OUTSIDE the vmapped cond: under vmap
+        # the cond lowers to a select over every carried leaf, and a select
+        # over the [C, K, budget, F] gallery re-materializes ~31 MB/frame
+        # (measured ~36 us/frame on v5e — the single largest tracker-glue
+        # op). Precompute reads the gallery once (appearance einsum);
+        # feature post commits the mutations once.
+        pre = jax.vmap(
+            lambda st, t, f, v: tracker_precompute(st, t, f, v, hp.tracker)
+        )(states, ct, cf, cv)
+        small = states._replace(
+            gallery=None, pending=None, gallery_count=None, pending_count=None
+        )
+        new_small, outputs, flags = jax.vmap(
+            lambda st, pre_c, t, s, v, pres, ordr: tracker_step_core(
+                st, pre_c, t, s, v, hp.tracker, width, height, pres, ordr
             )
-        )(states, ct, cs, cf, cv, present, corder)
+        )(small, pre, ct, cs, cv, present, corder)
+        f_n = cf / jnp.maximum(jnp.linalg.norm(cf, axis=-1, keepdims=True), 1e-12)
+        gallery, pending, gallery_count, pending_count = tracker_feature_post(
+            states.gallery, states.pending, states.gallery_count,
+            states.pending_count, flags, f_n, hp.tracker,
+        )
+        st_new = new_small._replace(
+            gallery=gallery,
+            pending=pending,
+            gallery_count=gallery_count,
+            pending_count=pending_count,
+        )
         return st_new, outputs
 
     # scan over classes, SMALL state only: the association core runs
