@@ -60,7 +60,9 @@ def main():
     reid_params, reid_stats = init_reid(jax.random.PRNGKey(1))
     reid_params = jax.device_put(reid_params)
     reid_stats = jax.device_put(reid_stats)
-    hp = DeepSortParams(tracker=TrackerParams(capacity=64), num_classes=4)
+    hp = DeepSortParams(
+        tracker=TrackerParams(capacity=64, feat_dtype="bfloat16"), num_classes=4
+    )
     states = init_states(hp)
 
     from concurrent.futures import ThreadPoolExecutor

@@ -105,7 +105,8 @@ def main():
     reid_params = jax.device_put(reid_params)
     reid_stats = jax.device_put(reid_stats)
     hp = DeepSortParams(
-        tracker=TrackerParams(capacity=64), num_classes=args.num_classes,
+        tracker=TrackerParams(capacity=64, feat_dtype="bfloat16"),
+        num_classes=args.num_classes,
         max_embed=args.max_embed, class_mode=args.class_mode,
     )
 

@@ -160,6 +160,12 @@ class CountingPipeline:
             max_iou_distance=float(tc.get("MAX_IOU_DISTANCE", 0.6)),
             max_age=int(tc.get("MAX_AGE", 30)),
             n_init=int(tc.get("N_INIT", 3)),
+            # bf16 storage is bit-identical on TPU (the appearance dot rounds
+            # to bf16 regardless) and saves a whole-gallery conversion copy
+            # per frame; full f32 when the pipeline computes in f32
+            feat_dtype=(
+                "float32" if self.config.compute_dtype == "float32" else "bfloat16"
+            ),
         )
         return self._DeepSortParams(
             tracker=tracker,

@@ -90,9 +90,13 @@ def pipeline_batch_step(
                 # content-only upload: re-insert the constant gray padding
                 frames = yuv420_content_to_full(frames, src_hw, image_size)
             rgb = yuv420_to_rgb(frames)  # [B, dh, dw, 3] f32 0..255
-            imgs = (rgb / 255.0).astype(dtype)
-            # uint8 crop source: 4x less gather traffic in the ReID crop op
+            # quantize ONCE to uint8 — the only materialized full-res buffer
+            # (157 MB/batch at B=128 vs 629 MB for f32 rgb, which previously
+            # fed two consumers). This is also the reference's exact pixel
+            # path: video decode yields uint8 RGB, the detector sees u8/255
+            # (utilities/postprocess.py letterbox on uint8 frames).
             crop_source = rgb.astype(jnp.uint8)
+            imgs = (crop_source.astype(jnp.float32) / 255.0).astype(dtype)
         elif frames_format == "letterboxed_rgb":
             crop_source = frames
             imgs = (frames.astype(jnp.float32) / 255.0).astype(dtype)

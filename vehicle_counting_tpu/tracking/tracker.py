@@ -67,6 +67,17 @@ class TrackerParams:
     max_iou_distance: float = 0.6
     max_age: int = 30
     n_init: int = 3
+    feat_dtype: str = "float32"  # gallery/pending storage dtype. "bfloat16"
+                                 # on TPU is BIT-IDENTICAL to f32 storage
+                                 # there: the appearance einsum's default-
+                                 # precision dot already rounds both operands
+                                 # to bf16 on the MXU, so storing the rounded
+                                 # value changes nothing — but it halves the
+                                 # [K, budget, F] gallery's HBM footprint and
+                                 # kills a per-frame f32->bf16 conversion
+                                 # copy of the whole buffer (~36 us/frame at
+                                 # [4,64,60,512] on v5e). f32 default keeps
+                                 # CPU parity tests at full precision.
 
 
 class TrackerState(NamedTuple):
@@ -121,9 +132,9 @@ def init_state(hp: TrackerParams) -> TrackerState:
         hits=jnp.zeros((k,), jnp.int32),
         age=jnp.zeros((k,), jnp.int32),
         tsu=jnp.zeros((k,), jnp.int32),
-        gallery=jnp.zeros((k, b, f), jnp.float32),
+        gallery=jnp.zeros((k, b, f), jnp.dtype(hp.feat_dtype)),
         gallery_count=jnp.zeros((k,), jnp.int32),
-        pending=jnp.zeros((k, p, f), jnp.float32),
+        pending=jnp.zeros((k, p, f), jnp.dtype(hp.feat_dtype)),
         pending_count=jnp.zeros((k,), jnp.int32),
         last_conf=jnp.zeros((k,), jnp.float32),
         next_id=jnp.int32(1),
@@ -134,7 +145,14 @@ def init_state(hp: TrackerParams) -> TrackerState:
 def _appearance_cost(st: TrackerState, feat: jax.Array, hp: TrackerParams) -> jax.Array:
     """[K, D] min cosine distance of each detection to each track's gallery."""
     f_n = feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
-    sims = jnp.einsum("kbf,df->kbd", st.gallery, f_n)  # gallery stored normalized
+    # gallery stored normalized; match the detection features to the storage
+    # dtype so a bf16 gallery feeds the MXU directly (the default-precision
+    # f32 dot rounds to bf16 anyway — same values, minus a whole-buffer
+    # conversion copy per frame), accumulating in f32 either way
+    sims = jnp.einsum(
+        "kbf,df->kbd", st.gallery, f_n.astype(st.gallery.dtype),
+        preferred_element_type=jnp.float32,
+    )
     b = st.gallery.shape[1]
     slot = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
     slot_valid = slot < jnp.minimum(st.gallery_count, b)[:, None]  # [K, B]
@@ -638,6 +656,7 @@ def tracker_feature_post(gallery, pending, gallery_count, pending_count, flags, 
     """
     p_cap, b = hp.pending_cap, hp.budget
     k = gallery.shape[-3]
+    f_n = f_n.astype(gallery.dtype)  # storage dtype (see TrackerParams.feat_dtype)
 
     # (1) append matched features at min(count, P-1), and (3) initiated
     # slots start pending = [det feature]. Both as ONE fused one-hot select
