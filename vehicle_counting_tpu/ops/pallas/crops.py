@@ -1,0 +1,285 @@
+"""Per-crop DMA gather + cv2-bilinear 50x50 resize as one Pallas TPU kernel.
+
+Replaces the XLA row-gather path in ops/crops.py (gather_crops_batch) for
+the batch-global ReID embed. The XLA lowering of the [D, 100, W, 3] frame
+row gather runs ~20x below HBM bandwidth (measured on v5e — see ROADMAP
+"Measured negative results"); this kernel instead DMAs each crop's banded
+row range HBM->VMEM at line rate and does the tap selection + column
+bilinear interpolation in VMEM, one grid step per crop.
+
+Bit-exactness with the XLA path (tested array-equal in
+tests/test_pallas_crops.py): the kernel performs NO floating-point
+coordinate math of its own — every tap index and weight is computed once in
+XLA by the same `_bilinear_coords` helper the reference path uses and fed
+in as operands. In-kernel arithmetic is limited to contractions that are
+exact by construction:
+
+  * the row-tap one-hot matmul: one nonzero per row-sum, u8 pixel values
+    (exact in a single bf16 pass);
+  * the lane->sublane reorientation of the integer tap indices: exact
+    one-hot f32 matmul at precision HIGHEST (values < 2^10 survive the
+    3-way bf16 split — same trick as ops/pallas/cascade.py);
+  * the column bilinear matmul: at most two nonzero terms per f32
+    accumulator (order-invariant), with the weight matrix built from the
+    SAME (1-fx, fx) values in the same compute dtype as `_columns_matmul`
+    (bf16 on TPU — coincident clamp taps sum in bf16 there, so here too).
+
+The f32 vertical mix and the normalization run in XLA after the kernel,
+with the exact expressions of `_resize_rows` / `gather_crops_batch`.
+
+The kernel consumes the crop source in PLANAR [B, 3, H, W] uint8 layout so
+each channel's band is a contiguous 2-D DMA and the matmuls contract over
+plain [T, W] tiles (no lane-interleaved channel stride). Callers transpose
+the NHWC frame once per batch (u8 traffic, cheap) — see
+tracking/deepsort.embed_detections_batch.
+
+Reference semantics being reproduced (via ops/crops.py): host crop
+`ori_img[y1:y2, x1:x2]` + `cv2.resize(..., (50, 50))`, deep_sort.py:88-107
+and feature_extractor.py:26-39 of /root/reference.
+
+Mosaic notes: vectors are 2-D >=128-lane tiles; the band scratch is uint8
+(tile (32, 128)); dynamic sublane DMA starts are aligned down to 8 rows;
+per-crop scalars arrive via scalar prefetch (SMEM), per-crop tap vectors as
+lane-oriented VMEM blocks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+OH = 50            # output crop size (reference CROP_SIZE)
+ROWS = 64          # sublane half: y0 taps at rows [0, 64), y1 at [64, 128)
+T_SMALL = 96       # small band tier (rows); covers tap spans <= 88 after
+                   # the 8-row DMA start alignment
+OL = 64            # lane count holding the 50 output columns
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _crop_kernel_body(ints_ref, colmeta_ref, ymeta_ref, frames_ref, out_ref,
+                      band_ref, sems, *, h: int, w: int, use_bf16: bool):
+    """One crop per grid step.
+
+    ints_ref [D, 4] i32 SMEM: (frame idx, ylo, yhi, unused) — ylo/yhi the
+    min/max clipped tap rows (band coverage).
+    colmeta_ref block [1, 8, OL] f32: sublane 0 x0c, 1 x1c (clipped column
+    taps, -1 beyond OH), 2 fx.
+    ymeta_ref block [1, 8, 2*ROWS] f32: sublane 0 = concat(y0c, y1c) at
+    lanes [0,50) and [64,114) (sentinel -2h elsewhere).
+    frames_ref [B, 3, H, W] u8 (HBM). out_ref block [1, 3, 2*ROWS, OL] f32:
+    column-interpolated tap rows on the 0..255 scale (y0 rows at [0, 64),
+    y1 rows at [64, 128); garbage outside the tap lanes — the vertical mix,
+    normalization and validity masking happen in XLA).
+    band_ref [3, H, W] u8 VMEM scratch; sems: 3 DMA semaphores.
+    """
+    d = pl.program_id(0)
+    fi = ints_ref[d, 0]
+    ylo = ints_ref[d, 1]
+    yhi = ints_ref[d, 2]
+
+    cdt = jnp.bfloat16 if use_bf16 else jnp.float32
+
+    # column one-hot bilinear weights — same values/dtype as
+    # _columns_matmul's sel (ops/crops.py:73-104): both taps in one matrix,
+    # coincident clamp taps summing in the compute dtype
+    x0c = colmeta_ref[0, 0:1, :].astype(jnp.int32)  # [1, OL]
+    x1c = colmeta_ref[0, 1:2, :].astype(jnp.int32)
+    fx = colmeta_ref[0, 2:3, :]
+    wq = jax.lax.broadcasted_iota(jnp.int32, (w, OL), 0)
+    w0 = (1.0 - fx).astype(cdt)
+    w1 = fx.astype(cdt)
+    zero = jnp.zeros((), cdt)
+    csel = jnp.where(wq == x0c, w0, zero) + jnp.where(wq == x1c, w1, zero)
+
+    # integer tap rows, lane->sublane via exact one-hot HIGHEST matmul
+    taps_l = ymeta_ref[0, 0:1, :]  # [1, 2*ROWS] f32 integer values
+    n2 = 2 * ROWS
+    sub = jax.lax.broadcasted_iota(jnp.int32, (n2, n2), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n2, n2), 1)
+    eye = (sub == lane).astype(jnp.float32)
+    diag = jnp.broadcast_to(taps_l, (n2, n2)) * eye
+
+    def tier(t: int):
+        """DMA a [3, t, W] band and interpolate from it (static height)."""
+        start = jnp.minimum(
+            (jnp.maximum(ylo, 0) // 8) * 8, h - t
+        )  # 8-aligned; clamp keeps the band inside the frame
+        for c in range(3):
+            pltpu.make_async_copy(
+                frames_ref.at[fi, c, pl.ds(start, t), :],
+                band_ref.at[c, pl.ds(0, t), :],
+                sems.at[c],
+            ).start()
+        for c in range(3):
+            pltpu.make_async_copy(
+                frames_ref.at[fi, c, pl.ds(start, t), :],
+                band_ref.at[c, pl.ds(0, t), :],
+                sems.at[c],
+            ).wait()
+
+        # tap rows broadcast per sublane: tap_b[r, :] = taps_l[r] - start
+        ones = jnp.ones((n2, t), jnp.float32)
+        tap_b = jax.lax.dot(diag, ones, precision=_HI).astype(jnp.int32)
+        tap_b = tap_b - start
+        tt = jax.lax.broadcasted_iota(jnp.int32, (n2, t), 1)
+        r01 = jnp.where(tt == tap_b, 1.0, 0.0).astype(cdt)
+
+        for c in range(3):
+            band_c = band_ref[c, 0:t, :].astype(cdt)  # u8 -> exact
+            taps_c = jax.lax.dot(
+                r01, band_c, preferred_element_type=jnp.float32
+            )  # [2*ROWS, W] f32, exact u8 values (one-hot rows)
+            out_ref[0, c, :, :] = jax.lax.dot(
+                taps_c.astype(cdt), csel, preferred_element_type=jnp.float32
+            )  # same 2-term f32 sums as the XLA einsum
+
+    if h <= T_SMALL:
+        tier(h)  # frame fits the small band anyway: single static path
+    else:
+        small = (yhi - ylo) <= (T_SMALL - 8)
+
+        @pl.when(small)
+        def _():
+            tier(T_SMALL)
+
+        @pl.when(jnp.logical_not(small))
+        def _():
+            tier(h)
+
+
+@partial(jax.jit, static_argnames=("use_bf16", "interpret"))
+def _crop_gather_call(frames_planar, ints, colmeta, ymeta, *, use_bf16: bool,
+                      interpret: bool):
+    """[D] crops from planar frames: column-mixed [D, 3, 2*ROWS, OL] f32."""
+    d = ints.shape[0]
+    _, _, h, w = frames_planar.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(d,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, OL), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 8, 2 * ROWS), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, 2 * ROWS, OL), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, h, w), jnp.uint8),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_crop_kernel_body, h=h, w=w, use_bf16=use_bf16),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d, 3, 2 * ROWS, OL), jnp.float32),
+        interpret=interpret,
+    )(ints, colmeta, ymeta, frames_planar)
+
+
+import numpy as _np
+
+_MEAN = _np.asarray((0.485, 0.456, 0.406), _np.float32)
+_STD = _np.asarray((0.229, 0.224, 0.225), _np.float32)
+
+
+@partial(jax.jit, static_argnames=("dtype", "interpret"))
+def gather_crops_batch_pallas(
+    frames_planar: jax.Array,  # [B, 3, H, W] uint8 RGB (planar)
+    frame_idx: jax.Array,      # [D] i32 source frame per crop
+    boxes_xyxy: jax.Array,     # [D, 4] f32 crop-source pixels
+    valid: jax.Array,          # [D] bool
+    dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in twin of ops/crops.gather_crops_batch (array-equal outputs).
+
+    Returns normalized [D, 50, 50, 3] f32 crops; invalid rows are zero.
+    dtype=bfloat16 selects the bf16 column weights iff running on TPU,
+    mirroring _columns_matmul's use_bf16 switch.
+    """
+    from vehicle_counting_tpu.ops.crops import _bilinear_coords
+
+    d = frame_idx.shape[0]
+    _, _, h, w = frames_planar.shape
+    # the same coordinate math (and jaxpr) as the XLA gather path
+    y0c, y1c, fy, x0c, x1c, fx = _bilinear_coords(boxes_xyxy, h, w, (OH, OH))
+
+    ints = jnp.stack(
+        [
+            frame_idx.astype(jnp.int32),
+            y0c[:, 0],            # min tap row (sy is nondecreasing in i)
+            y1c[:, -1],           # max tap row
+            jnp.zeros((d,), jnp.int32),
+        ],
+        axis=1,
+    )
+
+    def lane_pad(v, n, fill):
+        return jnp.pad(
+            v.astype(jnp.float32), ((0, 0), (0, n - v.shape[1])),
+            constant_values=fill,
+        )
+
+    colmeta = jnp.stack(
+        [
+            lane_pad(x0c, OL, -1.0),
+            lane_pad(x1c, OL, -1.0),
+            lane_pad(fx, OL, 0.0),
+        ]
+        + [jnp.zeros((d, OL), jnp.float32)] * 5,
+        axis=1,
+    )  # [D, 8, OL]
+    sent = -4.0 * h  # sentinel tap: never matches a band row
+    y0p = lane_pad(y0c, ROWS, sent)
+    y1p = lane_pad(y1c, ROWS, sent)
+    ymeta = jnp.stack(
+        [jnp.concatenate([y0p, y1p], axis=1)]
+        + [jnp.zeros((d, 2 * ROWS), jnp.float32)] * 7,
+        axis=1,
+    )  # [D, 8, 2*ROWS]
+
+    use_bf16 = dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+    m = _crop_gather_call(
+        frames_planar, ints, colmeta, ymeta,
+        use_bf16=use_bf16, interpret=interpret,
+    )  # [D, 3, 2*ROWS, OL] f32 column-interpolated tap rows
+
+    # vertical f32 mix with _resize_rows' exact expression, then the same
+    # normalization chain as gather_crops_batch
+    m0 = jnp.transpose(m[:, :, :OH, :OH], (0, 2, 3, 1))         # [D,50,50,3]
+    m1 = jnp.transpose(m[:, :, ROWS : ROWS + OH, :OH], (0, 2, 3, 1))
+    crops = m0 * (1.0 - fy)[:, :, None, None] + m1 * fy[:, :, None, None]
+    crops = (crops / 255.0 - _MEAN) / _STD
+    return jnp.where(valid[:, None, None, None], crops, 0.0)
+
+
+_SUPPORTED = None
+
+
+def pallas_crops_supported() -> bool:
+    """Probe once whether this backend compiles + runs the kernel."""
+    global _SUPPORTED
+    if _SUPPORTED is None:
+        try:
+            frames = jnp.zeros((1, 3, 64, 128), jnp.uint8)
+            fidx = jnp.zeros((2,), jnp.int32)
+            boxes = jnp.asarray([[1.0, 1.0, 20.0, 20.0], [0.0, 0.0, 8.0, 60.0]])
+            out = gather_crops_batch_pallas(
+                frames, fidx, boxes, jnp.ones((2,), bool)
+            )
+            jax.block_until_ready(out)
+            _SUPPORTED = True
+        except Exception:
+            _SUPPORTED = False
+    return _SUPPORTED

@@ -81,6 +81,31 @@ class DeepSortParams(NamedTuple):
                                   # instead of the max_det padding.
 
 
+# None: auto (Pallas per-crop DMA gather on TPU when the backend compiles
+# Mosaic); True: force (interpret mode off-TPU — used by CPU parity tests);
+# False: force the XLA row-gather path (ops/crops.py).
+FORCE_PALLAS_CROPS = None
+
+
+def _crops_kernel_mode() -> str:
+    """'off' | 'compile' | 'interpret' — trace-time dispatch decision."""
+    if FORCE_PALLAS_CROPS is False:
+        return "off"
+    if FORCE_PALLAS_CROPS is True:
+        return "interpret" if jax.default_backend() != "tpu" else "compile"
+    if jax.default_backend() == "tpu":
+        try:
+            from vehicle_counting_tpu.ops.pallas.crops import (
+                pallas_crops_supported,
+            )
+
+            if pallas_crops_supported():
+                return "compile"
+        except Exception:
+            pass
+    return "off"
+
+
 def init_states(hp: DeepSortParams) -> TrackerState:
     """Stacked per-class tracker states: every leaf gains a leading [C] axis."""
     one = init_state(hp.tracker)
@@ -240,8 +265,26 @@ def embed_detections_batch(
     )
     fv = valid.reshape(b * n)
 
-    def gather_chunk(sel, v):
-        return gather_crops_batch(frames, fidx[sel], fb[sel], v, dtype=dtype)
+    mode = _crops_kernel_mode()
+    if mode != "off":
+        # Pallas per-crop DMA gather (ops/pallas/crops.py): array-equal to
+        # gather_crops_batch but DMAs each crop's row band at line rate
+        # instead of the slow XLA row-gather lowering. Wants the frame
+        # planar; one u8 transpose per batch is cheap next to the gather.
+        from vehicle_counting_tpu.ops.pallas.crops import (
+            gather_crops_batch_pallas,
+        )
+
+        frames_planar = jnp.transpose(frames, (0, 3, 1, 2))
+
+        def gather_chunk(sel, v):
+            return gather_crops_batch_pallas(
+                frames_planar, fidx[sel], fb[sel], v, dtype=dtype,
+                interpret=mode == "interpret",
+            )
+    else:
+        def gather_chunk(sel, v):
+            return gather_crops_batch(frames, fidx[sel], fb[sel], v, dtype=dtype)
 
     def embed_chunk(crops):
         return reid_forward(reid_params, reid_stats, crops, train=False, reid=True, dtype=dtype)
