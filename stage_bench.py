@@ -234,7 +234,7 @@ def main():
             run, lambda: np.asarray(out[0][0, 0, :1]), B, args.reps, args.chain
         )
 
-    if "embed_gather" in stages or "embed_cnn" in stages:
+    if stages & {"embed_gather", "embed_gather_pallas", "embed_cnn"}:
         from vehicle_counting_tpu.ops.crops import gather_crops_batch
         from vehicle_counting_tpu.models.reid import reid_forward as _rf
 
@@ -264,6 +264,30 @@ def main():
             results["embed_gather"] = _time_ms_per_frame(
                 run, lambda: np.asarray(out[0]), B, args.reps, args.chain
             )
+
+        if "embed_gather_pallas" in stages:
+            from vehicle_counting_tpu.ops.pallas.crops import (
+                gather_crops_batch_pallas, pallas_crops_supported,
+            )
+
+            if not pallas_crops_supported():
+                print("  embed_gather_pallas: kernel unsupported on this backend")
+            else:
+                gdt = jnp.bfloat16 if args.reid_dtype == "bfloat16" else None
+
+                @jax.jit
+                def gather_pallas(src, fi, bx, v):
+                    fp = jnp.transpose(src, (0, 3, 1, 2))
+                    return gather_crops_batch_pallas(fp, fi, bx, v, dtype=gdt).sum()
+
+                out = [None]
+
+                def run():
+                    out[0] = gather_pallas(crop_source, fidx, bsel, vsel)
+
+                results["embed_gather_pallas"] = _time_ms_per_frame(
+                    run, lambda: np.asarray(out[0]), B, args.reps, args.chain
+                )
 
         if "embed_cnn" in stages:
             crops_fixed = jax.block_until_ready(

@@ -30,6 +30,52 @@ from vehicle_counting_tpu.ops.nms import nms_selected
 COCO_VEHICLE_MAPPING: Dict[int, int] = {0: 0, 1: 0, 2: 1, 3: 0, 5: 2, 7: 3}
 VEHICLE_CLASS_NAMES: Tuple[str, ...] = ("motorbike", "car", "bus", "truck")
 
+# group count for the detect tail's two-phase exact top-k (1 = plain
+# lax.top_k). Flip after on-chip measurement (benchmarks/micro/topk_bench.py).
+TAIL_TOPK_GROUPS = 1
+
+
+def exact_topk(scores: jax.Array, k: int, groups: int = 1):
+    """lax.top_k-equivalent (values AND index tie-breaking) in two phases.
+
+    scores [..., A] -> (values [..., k], indices [..., k]), identical to
+    jax.lax.top_k including its lower-index-first tie rule:
+
+      * phase 1 takes each of `groups` contiguous slices' top-k — any
+        global top-k element is necessarily in its own slice's top-k, and
+        an element dropped there is preceded within its slice alone by k
+        same-or-better elements under the (value desc, index asc) order,
+        so it cannot be a global winner;
+      * the merged [groups * k] candidates are ordered by (slice, in-slice
+        rank); for equal values that IS ascending original index (slices
+        are index-contiguous and in-slice ties come out index-ascending),
+        so phase 2's lower-position tie rule reproduces the global rule.
+
+    Pads with -inf. Falls back to plain lax.top_k when k exceeds the slice
+    width (a slice could not surface k candidates) — grouping only pays for
+    k << A anyway.
+    """
+    if groups <= 1:
+        return jax.lax.top_k(scores, k)
+    a = scores.shape[-1]
+    s = -(-a // groups)  # slice width
+    if k > s:
+        return jax.lax.top_k(scores, k)
+    lead = scores.shape[:-1]
+    pad = groups * s - a
+    sp = jnp.concatenate(
+        [scores, jnp.full(lead + (pad,), -jnp.inf, scores.dtype)], axis=-1
+    ) if pad else scores
+    grp = sp.reshape(lead + (groups, s))
+    v1, i1 = jax.lax.top_k(grp, k)  # [..., G, k]
+    base = (jnp.arange(groups, dtype=jnp.int32) * s)[
+        (None,) * len(lead) + (slice(None), None)
+    ]
+    iorig = i1 + base
+    v2, i2 = jax.lax.top_k(v1.reshape(lead + (groups * k,)), k)
+    idx = jnp.take_along_axis(iorig.reshape(lead + (groups * k,)), i2, axis=-1)
+    return v2, idx
+
 
 def fused_detect_tail(
     heads,
@@ -82,7 +128,7 @@ def fused_detect_tail(
         conf_ok = sc > conf_thres
         sc_m = jnp.where(conf_ok, sc, -1.0)
         k = min(pre_nms_topk, a_total)
-        top_sc, idx = jax.lax.top_k(sc_m, k)
+        top_sc, idx = exact_topk(sc_m, k, groups=TAIL_TOPK_GROUPS)
         valid = top_sc > 0
 
         rows = raw_i[idx]  # [k, no] row gather, conv dtype
