@@ -54,135 +54,186 @@ from jax.experimental.pallas import tpu as pltpu
 
 OH = 50            # output crop size (reference CROP_SIZE)
 ROWS = 64          # sublane half: y0 taps at rows [0, 64), y1 at [64, 128)
-T_SMALL = 96       # small band tier (rows); covers tap spans <= 88 after
-                   # the 8-row DMA start alignment
+T_SMALL = 96       # small band tier (rows); covers tap spans <= 64 after
+                   # the 32-row DMA start alignment
 OL = 64            # lane count holding the 50 output columns
 _HI = jax.lax.Precision.HIGHEST
 
 
+G_CROPS = 8        # crops per grid step (unrolled, double-buffered DMA)
+
+
 def _crop_kernel_body(ints_ref, colmeta_ref, ymeta_ref, frames_ref, out_ref,
                       band_ref, sems, *, h: int, w: int, use_bf16: bool):
-    """One crop per grid step.
+    """G_CROPS crops per grid step, software-pipelined band DMAs.
 
-    ints_ref [D, 4] i32 SMEM: (frame idx, ylo, yhi, unused) — ylo/yhi the
-    min/max clipped tap rows (band coverage).
-    colmeta_ref block [1, 8, OL] f32: sublane 0 x0c, 1 x1c (clipped column
+    The one-crop-per-step version measured ~6 us/crop on v5e — dominated by
+    grid-step overhead + un-overlapped DMA latency, not compute (~1 us) or
+    DMA line time (~0.25 us small tier). This body unrolls G_CROPS crops
+    per step and double-buffers the band scratch (the guide's canonical
+    prestart-next / wait-current / compute pattern), so crop g+1's DMA
+    rides under crop g's matmuls and the step overhead amortizes G ways.
+
+    ints_ref flat [4 * D_pad] i32 SMEM, 4 per crop: (frame idx, ylo, yhi,
+    unused) — ylo/yhi the min/max clipped tap rows (band coverage). Flat
+    1-D because SMEM-prefetch 2-D rows are lane-padded to 128 (a [D, 4]
+    layout costs 512 B/crop of the 1 MB SMEM).
+    colmeta_ref block [G, 8, OL] f32: sublane 0 x0c, 1 x1c (clipped column
     taps, -1 beyond OH), 2 fx.
-    ymeta_ref block [1, 8, 2*ROWS] f32: sublane 0 = concat(y0c, y1c) at
-    lanes [0,50) and [64,114) (sentinel -2h elsewhere).
-    frames_ref [B, 3, H, W] u8 (HBM). out_ref block [1, 3, 2*ROWS, OL] f32:
+    ymeta_ref block [G, 8, 2*ROWS] f32: sublane 0 = concat(y0c, y1c) at
+    lanes [0,50) and [64,114) (sentinel -4h elsewhere).
+    frames_ref [B, 3, H, W] u8 (HBM). out_ref block [G, 3, 2*ROWS, OL] f32:
     column-interpolated tap rows on the 0..255 scale (y0 rows at [0, 64),
     y1 rows at [64, 128); garbage outside the tap lanes — the vertical mix,
     normalization and validity masking happen in XLA).
-    band_ref [3, H, W] u8 VMEM scratch; sems: 3 DMA semaphores.
+    band_ref [2, 3, H, W] u8 VMEM scratch; sems: [2, 3] DMA semaphores.
     """
-    d = pl.program_id(0)
-    fi = ints_ref[d, 0]
-    ylo = ints_ref[d, 1]
-    yhi = ints_ref[d, 2]
-
+    i = pl.program_id(0)
     cdt = jnp.bfloat16 if use_bf16 else jnp.float32
-
-    # column one-hot bilinear weights — same values/dtype as
-    # _columns_matmul's sel (ops/crops.py:73-104): both taps in one matrix,
-    # coincident clamp taps summing in the compute dtype
-    x0c = colmeta_ref[0, 0:1, :].astype(jnp.int32)  # [1, OL]
-    x1c = colmeta_ref[0, 1:2, :].astype(jnp.int32)
-    fx = colmeta_ref[0, 2:3, :]
-    wq = jax.lax.broadcasted_iota(jnp.int32, (w, OL), 0)
-    w0 = (1.0 - fx).astype(cdt)
-    w1 = fx.astype(cdt)
-    zero = jnp.zeros((), cdt)
-    csel = jnp.where(wq == x0c, w0, zero) + jnp.where(wq == x1c, w1, zero)
-
-    # integer tap rows, lane->sublane via exact one-hot HIGHEST matmul
-    taps_l = ymeta_ref[0, 0:1, :]  # [1, 2*ROWS] f32 integer values
     n2 = 2 * ROWS
+
+    # constants shared by every crop in the step
+    wq = jax.lax.broadcasted_iota(jnp.int32, (w, OL), 0)
     sub = jax.lax.broadcasted_iota(jnp.int32, (n2, n2), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (n2, n2), 1)
     eye = (sub == lane).astype(jnp.float32)
-    diag = jnp.broadcast_to(taps_l, (n2, n2)) * eye
 
-    def tier(t: int):
-        """DMA a [3, t, W] band and interpolate from it (static height)."""
-        start = jnp.minimum(
-            (jnp.maximum(ylo, 0) // 8) * 8, h - t
-        )  # 8-aligned; clamp keeps the band inside the frame
-        for c in range(3):
-            pltpu.make_async_copy(
-                frames_ref.at[fi, c, pl.ds(start, t), :],
-                band_ref.at[c, pl.ds(0, t), :],
-                sems.at[c],
-            ).start()
-        for c in range(3):
-            pltpu.make_async_copy(
-                frames_ref.at[fi, c, pl.ds(start, t), :],
-                band_ref.at[c, pl.ds(0, t), :],
-                sems.at[c],
-            ).wait()
+    def meta(g):
+        j = i * G_CROPS + g
+        return ints_ref[4 * j], ints_ref[4 * j + 1], ints_ref[4 * j + 2]
 
-        # tap rows broadcast per sublane: tap_b[r, :] = taps_l[r] - start
+    def band_start(g, t, ylo):
+        # 32-row-aligned dynamic DMA start (i8 VMEM tiles pack 4 rows x 8
+        # sublanes): keep the min INSIDE and the *32 syntactic so Mosaic's
+        # divisibility analysis can prove the memref-slice offset legal.
+        # The floor-div keeps the band inside the frame for ANY h (the
+        # small-tier condition separately guarantees the band still covers
+        # the crop); for t == h the start is provably 0.
+        q = jnp.minimum(jnp.maximum(ylo, 0) // 32, (h - t) // 32)
+        return q * 32
+
+    def band_dma(g, slot, t, wait):
+        fi, ylo, _ = meta(g)
+        start = band_start(g, t, ylo)
+        for c in range(3):
+            cp = pltpu.make_async_copy(
+                frames_ref.at[fi, c, pl.ds(start, t), :],
+                band_ref.at[slot, c, pl.ds(0, t), :],
+                sems.at[slot, c],
+            )
+            cp.wait() if wait else cp.start()
+
+    def tiered(g, fn):
+        """Run fn(t) under the crop's band tier (matching start/wait)."""
+        if h <= T_SMALL:
+            fn(h)  # frame fits the small band anyway: single static path
+        else:
+            _, ylo, yhi = meta(g)
+            # small iff (a) the 32-aligned-down start still covers the tap
+            # span and (b) the deepest legal 32-aligned band reaches yhi
+            # (only binding when h % 32 != 0 — the band may stop short of
+            # the frame bottom)
+            reach = 32 * ((h - T_SMALL) // 32) + T_SMALL  # static
+            small = ((yhi - ylo) <= (T_SMALL - 32)) & (yhi < reach)
+            pl.when(small)(lambda: fn(T_SMALL))
+            pl.when(jnp.logical_not(small))(lambda: fn(h))
+
+    def compute(g, slot, t):
+        _, ylo, _ = meta(g)
+        start = band_start(g, t, ylo)
+
+        # column one-hot bilinear weights — same values/dtype as
+        # _columns_matmul's sel (ops/crops.py:73-104): both taps in one
+        # matrix, coincident clamp taps summing in the compute dtype.
+        # Mosaic: broadcast BEFORE comparing (broadcast i1 relayout bug)
+        # and select via {0,1}-mask multiply (i1-vector select does not
+        # legalize); mask*w is exact (x*1 = x, x*0 = 0) — the same 2-term
+        # cdt sum as the XLA sel.
+        x0c = colmeta_ref[g, 0:1, :].astype(jnp.int32)  # [1, OL]
+        x1c = colmeta_ref[g, 1:2, :].astype(jnp.int32)
+        fx = colmeta_ref[g, 2:3, :]
+        w0 = (1.0 - fx).astype(cdt)
+        w1 = fx.astype(cdt)
+        m0 = (wq == jnp.broadcast_to(x0c, (w, OL))).astype(jnp.int32)
+        m1 = (wq == jnp.broadcast_to(x1c, (w, OL))).astype(jnp.int32)
+        csel = m0.astype(cdt) * jnp.broadcast_to(w0, (w, OL)) + m1.astype(
+            cdt
+        ) * jnp.broadcast_to(w1, (w, OL))
+
+        # integer tap rows, lane->sublane via exact one-hot HIGHEST matmul:
+        # tap_b[r, :] = taps_l[r] - start
+        taps_l = ymeta_ref[g, 0:1, :]  # [1, 2*ROWS] f32 integer values
+        diag = jnp.broadcast_to(taps_l, (n2, n2)) * eye
         ones = jnp.ones((n2, t), jnp.float32)
         tap_b = jax.lax.dot(diag, ones, precision=_HI).astype(jnp.int32)
         tap_b = tap_b - start
         tt = jax.lax.broadcasted_iota(jnp.int32, (n2, t), 1)
-        r01 = jnp.where(tt == tap_b, 1.0, 0.0).astype(cdt)
+        r01 = (tt == tap_b).astype(jnp.int32).astype(cdt)
 
         for c in range(3):
-            band_c = band_ref[c, 0:t, :].astype(cdt)  # u8 -> exact
+            # Mosaic has no unsigned->float cast; u8 -> i32 -> float is
+            # exact (values 0..255) and legalizes
+            band_c = band_ref[slot, c, 0:t, :].astype(jnp.int32).astype(cdt)
             taps_c = jax.lax.dot(
                 r01, band_c, preferred_element_type=jnp.float32
             )  # [2*ROWS, W] f32, exact u8 values (one-hot rows)
-            out_ref[0, c, :, :] = jax.lax.dot(
+            out_ref[g, c, :, :] = jax.lax.dot(
                 taps_c.astype(cdt), csel, preferred_element_type=jnp.float32
             )  # same 2-term f32 sums as the XLA einsum
 
-    if h <= T_SMALL:
-        tier(h)  # frame fits the small band anyway: single static path
-    else:
-        small = (yhi - ylo) <= (T_SMALL - 8)
+    # prologue: crop 0's band
+    tiered(0, lambda t: band_dma(0, 0, t, wait=False))
+    for g in range(G_CROPS):
+        slot = g % 2
+        if g + 1 < G_CROPS:
+            # prestart the next crop's band into the other slot; its last
+            # reader (crop g-1's compute) was issued a step ago
+            tiered(
+                g + 1,
+                lambda t, g=g: band_dma(g + 1, (g + 1) % 2, t, wait=False),
+            )
 
-        @pl.when(small)
-        def _():
-            tier(T_SMALL)
+        def wait_and_compute(t, g=g, slot=slot):
+            band_dma(g, slot, t, wait=True)
+            compute(g, slot, t)
 
-        @pl.when(jnp.logical_not(small))
-        def _():
-            tier(h)
+        tiered(g, wait_and_compute)
 
 
 @partial(jax.jit, static_argnames=("use_bf16", "interpret"))
 def _crop_gather_call(frames_planar, ints, colmeta, ymeta, *, use_bf16: bool,
                       interpret: bool):
-    """[D] crops from planar frames: column-mixed [D, 3, 2*ROWS, OL] f32."""
-    d = ints.shape[0]
+    """[D_pad] crops from planar frames: column-mixed [D_pad, 3, 2*ROWS, OL]
+    f32. D_pad (= ints.size // 4) must be a multiple of G_CROPS."""
+    d_pad = ints.shape[0] // 4
     _, _, h, w = frames_planar.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(d,),
+        grid=(d_pad // G_CROPS,),
         in_specs=[
             pl.BlockSpec(
-                (1, 8, OL), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (G_CROPS, 8, OL), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 8, 2 * ROWS), lambda i, *_: (i, 0, 0),
+                (G_CROPS, 8, 2 * ROWS), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 3, 2 * ROWS, OL), lambda i, *_: (i, 0, 0, 0),
+            (G_CROPS, 3, 2 * ROWS, OL), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((3, h, w), jnp.uint8),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, 3, h, w), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     return pl.pallas_call(
         partial(_crop_kernel_body, h=h, w=w, use_bf16=use_bf16),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((d, 3, 2 * ROWS, OL), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d_pad, 3, 2 * ROWS, OL), jnp.float32),
         interpret=interpret,
     )(ints, colmeta, ymeta, frames_planar)
 
@@ -212,6 +263,13 @@ def gather_crops_batch_pallas(
 
     d = frame_idx.shape[0]
     _, _, h, w = frames_planar.shape
+    if w % 128 != 0 and not interpret:
+        # Mosaic HBM memref slices must be 128-lane aligned in the last
+        # dim; callers fall back to the XLA gather for other widths
+        raise ValueError(f"pallas crop gather needs W % 128 == 0, got {w}")
+    # pad the crop axis to a G_CROPS multiple (dummy crops: frame 0, tap
+    # rows 0-0 -> small tier, sentinel taps; output rows sliced off below)
+    d_pad = -(-d // G_CROPS) * G_CROPS
     # the same coordinate math (and jaxpr) as the XLA gather path
     y0c, y1c, fy, x0c, x1c, fx = _bilinear_coords(boxes_xyxy, h, w, (OH, OH))
 
@@ -224,10 +282,12 @@ def gather_crops_batch_pallas(
         ],
         axis=1,
     )
+    # flat 1-D prefetch: 2-D SMEM rows are lane-padded to 128 (512 B/crop)
+    ints = jnp.pad(ints, ((0, d_pad - d), (0, 0))).reshape(-1)
 
     def lane_pad(v, n, fill):
         return jnp.pad(
-            v.astype(jnp.float32), ((0, 0), (0, n - v.shape[1])),
+            v.astype(jnp.float32), ((0, d_pad - d), (0, n - v.shape[1])),
             constant_values=fill,
         )
 
@@ -237,23 +297,23 @@ def gather_crops_batch_pallas(
             lane_pad(x1c, OL, -1.0),
             lane_pad(fx, OL, 0.0),
         ]
-        + [jnp.zeros((d, OL), jnp.float32)] * 5,
+        + [jnp.zeros((d_pad, OL), jnp.float32)] * 5,
         axis=1,
-    )  # [D, 8, OL]
+    )  # [D_pad, 8, OL]
     sent = -4.0 * h  # sentinel tap: never matches a band row
     y0p = lane_pad(y0c, ROWS, sent)
     y1p = lane_pad(y1c, ROWS, sent)
     ymeta = jnp.stack(
         [jnp.concatenate([y0p, y1p], axis=1)]
-        + [jnp.zeros((d, 2 * ROWS), jnp.float32)] * 7,
+        + [jnp.zeros((d_pad, 2 * ROWS), jnp.float32)] * 7,
         axis=1,
-    )  # [D, 8, 2*ROWS]
+    )  # [D_pad, 8, 2*ROWS]
 
     use_bf16 = dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
     m = _crop_gather_call(
         frames_planar, ints, colmeta, ymeta,
         use_bf16=use_bf16, interpret=interpret,
-    )  # [D, 3, 2*ROWS, OL] f32 column-interpolated tap rows
+    )[:d]  # [D, 3, 2*ROWS, OL] f32 column-interpolated tap rows
 
     # vertical f32 mix with _resize_rows' exact expression, then the same
     # normalization chain as gather_crops_batch

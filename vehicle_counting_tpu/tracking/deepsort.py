@@ -266,6 +266,10 @@ def embed_detections_batch(
     fv = valid.reshape(b * n)
 
     mode = _crops_kernel_mode()
+    if mode == "compile" and frames.shape[2] % 128 != 0:
+        # the kernel's HBM memref slices need a 128-lane-aligned frame
+        # width (ops/pallas/crops.py); pipeline letterboxes (640) are
+        mode = "off"
     if mode != "off":
         # Pallas per-crop DMA gather (ops/pallas/crops.py): array-equal to
         # gather_crops_batch but DMAs each crop's row band at line rate
