@@ -57,7 +57,6 @@ def test_bf16_storage_matches_f32_decisions(mode):
 
     st32, st16 = init_states(hp32), init_states(hp16)
     assert st16.gallery.dtype == jnp.bfloat16
-    assert st16.pending.dtype == jnp.bfloat16
     assert st32.gallery.dtype == jnp.float32
 
     core = jax.jit(deepsort_frame_core, static_argnames=("hp", "out_hw"))

@@ -378,7 +378,7 @@ def deepsort_frame_core(
             lambda st, t, f, v: tracker_precompute(st, t, f, v, hp.tracker)
         )(states, ct, cf, cv)
         small = states._replace(
-            gallery=None, pending=None, gallery_count=None, pending_count=None
+            gallery=None, gallery_count=None, pending_count=None
         )
         new_small, outputs, flags = jax.vmap(
             lambda st, pre_c, t, s, v, pres, ordr: tracker_step_core(
@@ -386,13 +386,12 @@ def deepsort_frame_core(
             )
         )(small, pre, ct, cs, cv, present, corder)
         f_n = cf / jnp.maximum(jnp.linalg.norm(cf, axis=-1, keepdims=True), 1e-12)
-        gallery, pending, gallery_count, pending_count = tracker_feature_post(
-            states.gallery, states.pending, states.gallery_count,
+        gallery, gallery_count, pending_count = tracker_feature_post(
+            states.gallery, states.gallery_count,
             states.pending_count, flags, f_n, hp.tracker,
         )
         st_new = new_small._replace(
             gallery=gallery,
-            pending=pending,
             gallery_count=gallery_count,
             pending_count=pending_count,
         )
@@ -414,7 +413,7 @@ def deepsort_frame_core(
     )(states, ct, cf, cv)
 
     small = states._replace(
-        gallery=None, pending=None, gallery_count=None, pending_count=None
+        gallery=None, gallery_count=None, pending_count=None
     )
 
     def scan_body(_, xs):
@@ -429,13 +428,12 @@ def deepsort_frame_core(
     )
 
     f_n = cf / jnp.maximum(jnp.linalg.norm(cf, axis=-1, keepdims=True), 1e-12)
-    gallery, pending, gallery_count, pending_count = tracker_feature_post(
-        states.gallery, states.pending, states.gallery_count,
+    gallery, gallery_count, pending_count = tracker_feature_post(
+        states.gallery, states.gallery_count,
         states.pending_count, flags, f_n, hp.tracker,
     )
     new_states = new_small._replace(
         gallery=gallery,
-        pending=pending,
         gallery_count=gallery_count,
         pending_count=pending_count,
     )

@@ -10,9 +10,10 @@ frames on-device:
     (tracker.py:133-139 `_next_id` order preserved: new tracks take ids in
     detection order);
   * appearance gallery as a [K, budget, F] ring buffer == "keep the last
-    `budget` samples" (nn_matching.py:137-154), fed through a pending buffer
-    so features accumulate while Tentative and flush on confirmation
-    (tracker.py:81-91 flushes only confirmed tracks' caches);
+    `budget` samples" (nn_matching.py:137-154); features accumulate while
+    Tentative and flush on confirmation (tracker.py:81-91 flushes only
+    confirmed tracks' caches) — modeled as unrevealed in-ring writes, see
+    tracker_feature_post;
   * matching cascade: for level in 0..max_age-1 match confirmed tracks with
     time_since_update == 1+level against remaining detections
     (linear_assignment.py:126-141), cost = min cosine distance to gallery
@@ -62,12 +63,14 @@ class TrackerParams:
     capacity: int = 64          # track slots K (== detection capacity)
     feat_dim: int = 512
     budget: int = 60            # NN_BUDGET gallery ring size
-    pending_cap: int = 8        # >= N_INIT
+    pending_cap: int = 8        # >= N_INIT (bounds unrevealed ring appends;
+                                # see tracker_feature_post — no buffer is
+                                # allocated for it anymore)
     max_dist: float = 0.2       # MAX_DIST cosine matching threshold
     max_iou_distance: float = 0.6
     max_age: int = 30
     n_init: int = 3
-    feat_dtype: str = "float32"  # gallery/pending storage dtype. "bfloat16"
+    feat_dtype: str = "float32"  # gallery storage dtype. "bfloat16"
                                  # on TPU is BIT-IDENTICAL to f32 storage
                                  # there: the appearance einsum's default-
                                  # precision dot already rounds both operands
@@ -88,10 +91,13 @@ class TrackerState(NamedTuple):
     hits: jax.Array          # [K] i32
     age: jax.Array           # [K] i32
     tsu: jax.Array           # [K] i32 time_since_update
-    gallery: jax.Array       # [K, B, F]
-    gallery_count: jax.Array # [K] i32 (total ever inserted; ring pos = count % B)
-    pending: jax.Array       # [K, P, F]
-    pending_count: jax.Array # [K] i32
+    gallery: jax.Array       # [K, B, F] (holds pending rows too, see
+                             # tracker_feature_post: pending features write
+                             # directly at ring pos (gc + pc) % B and stay
+                             # invisible until the confirm-flush reveals
+                             # them by bumping gallery_count)
+    gallery_count: jax.Array # [K] i32 (total REVEALED; ring pos = count % B)
+    pending_count: jax.Array # [K] i32 (appended since last flush)
     last_conf: jax.Array     # [K] f32
     next_id: jax.Array       # [] i32
     overflow: jax.Array      # [] i32 count of dropped initiations
@@ -106,7 +112,7 @@ class TrackerOutputs(NamedTuple):
 
 class TrackerFlags(NamedTuple):
     """Per-slot association outcome — everything `tracker_feature_post` needs
-    to apply the frame's gallery/pending mutations OUTSIDE the association
+    to apply the frame's gallery mutations OUTSIDE the association
     step. Multi-class callers scan the (small) association core over classes
     and run the feature-buffer update once, batched [C, ...]: carrying the
     [K, budget, F] gallery through the class scan costs a dynamic-slice +
@@ -122,7 +128,7 @@ class TrackerFlags(NamedTuple):
 
 
 def init_state(hp: TrackerParams) -> TrackerState:
-    k, b, f, p = hp.capacity, hp.budget, hp.feat_dim, hp.pending_cap
+    k, b, f = hp.capacity, hp.budget, hp.feat_dim
     mean = jnp.zeros((k, 8), jnp.float32).at[:, 3].set(1.0)  # h=1 keeps cholesky finite
     return TrackerState(
         mean=mean,
@@ -134,7 +140,6 @@ def init_state(hp: TrackerParams) -> TrackerState:
         tsu=jnp.zeros((k,), jnp.int32),
         gallery=jnp.zeros((k, b, f), jnp.dtype(hp.feat_dtype)),
         gallery_count=jnp.zeros((k,), jnp.int32),
-        pending=jnp.zeros((k, p, f), jnp.dtype(hp.feat_dtype)),
         pending_count=jnp.zeros((k,), jnp.int32),
         last_conf=jnp.zeros((k,), jnp.float32),
         next_id=jnp.int32(1),
@@ -505,7 +510,7 @@ def tracker_step(
 def _tracker_core(st, pre, tlwh, conf, det_valid, hp, width, height, det_order):
     """Association + lifecycle on the SMALL state only.
 
-    Returns (new_state, outputs, flags). gallery/pending/*_count leaves pass
+    Returns (new_state, outputs, flags). gallery/*_count leaves pass
     through UNTOUCHED (they may be None for scan callers that carry them
     outside); apply `tracker_feature_post` with the returned flags to commit
     the frame's feature-buffer mutations.
@@ -638,33 +643,46 @@ def _tracker_core(st, pre, tlwh, conf, det_valid, hp, width, height, det_order):
     return new_state, outputs, flags
 
 
-def tracker_feature_post(gallery, pending, gallery_count, pending_count, flags, f_n, hp):
-    """Commit the frame's gallery/pending mutations from association flags.
+def tracker_feature_post(gallery, gallery_count, pending_count, flags, f_n, hp):
+    """Commit the frame's gallery mutations from association flags.
 
     Replays, in order, exactly what the reference does around Tracker.update
     (tracker.py:81-91, track.py:129-148): (1) matched tracks append their
-    detection's feature to the pending buffer, (2) deleted tracks reset both
-    buffers, (3) newly initiated slots start pending = [feature], (4)
-    confirmed tracks flush pending into the gallery ring (nn_matching
-    partial_fit, "last budget samples win"). All steps are gather/where ops
-    with arbitrary leading batch dims — multi-class callers run this ONCE
-    batched [C, ...] after the per-class association scan; no scatters, so
-    it also vmaps cleanly.
+    detection's feature, (2) deleted tracks reset, (3) newly initiated slots
+    start with [feature], (4) confirmed tracks flush their accumulated
+    features into the nn_matching gallery (partial_fit, "last budget
+    samples win").
 
-    Args: gallery [..., K, B, F], pending [..., K, P, F], counts [..., K],
-    flags leaves [..., K], f_n [..., D, F] L2-normalized detection features.
+    There is no separate pending buffer: a track's i-th append since its
+    last flush lands at ring position (gallery_count + i) % budget no
+    matter when it flushes, so features write DIRECTLY into the
+    [K, budget, F] ring at (gallery_count + pending_count) % budget and the
+    confirm-flush merely REVEALS them (gallery_count += pending_count).
+    The appearance cost masks ring rows >= min(gallery_count, budget), so
+    unconfirmed appends stay invisible — bit-identical to the explicit
+    pending buffer this replaces, which cost a [lead*K*pending_cap]-row
+    flush scatter + a full pending-buffer rewrite (~45 us/frame fixed at
+    [4,64] slots on v5e, the dominant tracker glue item) every frame.
+    Reachability: a tentative track appends at most n_init (<= pending_cap
+    <= budget, TrackerParams invariant) features before confirming or
+    being deleted, and confirmed tracks flush every matched frame, so
+    unrevealed appends never wrap the ring into revealed history.
+
+    At most ONE ring row is written per slot per frame (matched xor newly
+    initiated), so the whole step is a single flat [lead*K]-row scatter
+    plus counter selects, with arbitrary leading batch dims — multi-class
+    callers run this ONCE batched [C, ...] after the per-class association
+    scan.
+
+    Args: gallery [..., K, B, F], counts [..., K], flags leaves [..., K],
+    f_n [..., D, F] L2-normalized detection features.
     """
-    p_cap, b = hp.pending_cap, hp.budget
+    b = hp.budget
     k = gallery.shape[-3]
     f_n = f_n.astype(gallery.dtype)  # storage dtype (see TrackerParams.feat_dtype)
 
-    # (1) append matched features at min(count, P-1), and (3) initiated
-    # slots start pending = [det feature]. Both as ONE fused one-hot select
-    # over the small [..., K, P, F] buffer (a slot is matched xor newly
-    # initiated, and the write positions are per-slot unique): scatters here
-    # cost ~20 us/frame EACH under the batched class mode's vmap and
-    # ~16 us/frame plain; the select pass is one read+write of ~4 MB.
-    pend_pos = jnp.minimum(pending_count, p_cap - 1)
+    # (1) matched tracks append at (gc + pc) % b; (3) initiated slots write
+    # their detection's feature at ring position 0 (counters reset below)
     gfeat = jnp.take_along_axis(
         f_n, jnp.clip(flags.gcol, 0, f_n.shape[-2] - 1)[..., None], axis=-2
     )  # [..., K, F]
@@ -672,58 +690,38 @@ def tracker_feature_post(gallery, pending, gallery_count, pending_count, flags, 
     newf = jnp.take_along_axis(
         f_n, jnp.clip(flags.src, 0, f_n.shape[-2] - 1)[..., None], axis=-2
     )  # [..., K, F]
-    p_i = jnp.arange(p_cap, dtype=jnp.int32)  # [P]
-    app_pos = jnp.where(flags.matched, pend_pos, p_cap)  # [..., K]; P = none
-    oh_app = app_pos[..., None] == p_i  # [..., K, P]
-    oh_new = jnp.where(has_new, 0, p_cap)[..., None] == p_i
-    pending = jnp.where(
-        oh_new[..., None],
-        newf[..., None, :],
-        jnp.where(oh_app[..., None], gfeat[..., None, :], pending),
+    write = flags.matched | has_new
+    pos = jnp.where(has_new, 0, (gallery_count + pending_count) % b)
+    pos = jnp.where(write, pos, b)  # b -> dropped
+    feat_w = jnp.where(has_new[..., None], newf, gfeat)  # [..., K, F]
+    lead_shape = gallery.shape
+    g2 = gallery.reshape((-1,) + gallery.shape[-2:])  # [R, B, F]
+    rows = jnp.arange(g2.shape[0], dtype=jnp.int32)
+    gallery = (
+        g2.at[rows, pos.reshape(-1)]
+        .set(feat_w.reshape(g2.shape[0], -1), mode="drop")
+        .reshape(lead_shape)
     )
-    pending_count = jnp.where(
-        flags.matched, jnp.minimum(pending_count + 1, p_cap), pending_count
-    )
+    pending_count = jnp.where(flags.matched, pending_count + 1, pending_count)
 
-    # (2) deleted tracks reset
+    # (2) deleted tracks reset, (3) initiated slots start with 1 unrevealed
     gallery_count = jnp.where(flags.delete, 0, gallery_count)
     pending_count = jnp.where(flags.delete, 0, pending_count)
-
     gallery_count = jnp.where(has_new, 0, gallery_count)
     pending_count = jnp.where(has_new, 1, pending_count)
 
-    # (4) flush confirmed tracks' pending into the gallery ring, as ONE
-    # scatter over the flattened [lead*K] row axis. A scatter touches only
-    # the <= P written rows per track and updates the (dead) input buffer in
-    # place; the take_along_axis+where formulation measured ~150 us/frame on
-    # v5e because it re-materializes the whole [C, K, budget, F] gallery
-    # every frame. Ring positions (count + i) % budget repeat only when
-    # pending_count > budget; the reference's ascending loop makes the LAST
-    # budget entries win, reproduced by the i >= pc - budget mask.
-    lead_shape = gallery.shape
-    g2 = gallery.reshape((-1,) + gallery.shape[-2:])   # [R, B, F]
-    p2 = pending.reshape((-1,) + pending.shape[-2:])   # [R, P, F]
-    gc = gallery_count.reshape(-1)
-    pc = pending_count.reshape(-1)
-    cf = flags.conf_after.reshape(-1)
-    i_idx = jnp.arange(p_cap, dtype=jnp.int32)[None, :]               # [1, P]
-    put = cf[:, None] & (i_idx < pc[:, None]) & (i_idx >= pc[:, None] - b)
-    pos = jnp.where(put, (gc[:, None] + i_idx) % b, b)                # b -> dropped
-    rows = jnp.broadcast_to(
-        jnp.arange(g2.shape[0], dtype=jnp.int32)[:, None], pos.shape
-    )
-    gallery = g2.at[rows, pos].set(p2, mode="drop").reshape(lead_shape)
+    # (4) flush == reveal
     gallery_count = jnp.where(
         flags.conf_after, gallery_count + pending_count, gallery_count
     )
     pending_count = jnp.where(flags.conf_after, 0, pending_count)
-    return gallery, pending, gallery_count, pending_count
+    return gallery, gallery_count, pending_count
 
 
 def tracker_step_core(st, pre, tlwh, conf, det_valid, hp, width, height, present, det_order):
     """cond(present)-gated association core for multi-class scan callers.
 
-    `st` may carry None for gallery/pending/*_count leaves (they live
+    `st` may carry None for gallery/*_count leaves (they live
     OUTSIDE the class scan; see TrackerFlags). Returns (new_st, outputs,
     flags), with all-zero flags when the class had no raw detection this
     frame (the reference never calls that class's update,
@@ -764,13 +762,12 @@ def _tracker_step_impl(st, tlwh, conf, feat, det_valid, hp, width, height, det_o
         st, pre, tlwh, conf, det_valid, hp, width, height, det_order
     )
     f_n = feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
-    gallery, pending, gallery_count, pending_count = tracker_feature_post(
-        st.gallery, st.pending, st.gallery_count, st.pending_count, flags, f_n, hp
+    gallery, gallery_count, pending_count = tracker_feature_post(
+        st.gallery, st.gallery_count, st.pending_count, flags, f_n, hp
     )
     return (
         st2._replace(
             gallery=gallery,
-            pending=pending,
             gallery_count=gallery_count,
             pending_count=pending_count,
         ),
