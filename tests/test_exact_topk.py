@@ -57,8 +57,14 @@ def test_k_beyond_slice_width_falls_back():
     _check(s, 60, 2)  # k > ceil(A/G): must silently equal plain top_k
 
 
-def test_detect_tail_unchanged_with_groups():
-    """fused_detect_tail output is identical for any group setting."""
+def test_headwise_tail_small_pre_nms_topk():
+    """The head-wise merge stays exact when pre_nms_topk exceeds a head.
+
+    With pre_nms_topk > the smallest head's anchor count the per-head
+    candidate lists are -inf padded before the phase-2 merge; outputs must
+    still match the reference tail (the full-suite bit-exactness is in
+    tests/test_detect_tail.py — this exercises the padding branch).
+    """
     from vehicle_counting_tpu.models import detector as det
     from vehicle_counting_tpu.models.yolo import YoloConfig, init_yolov5, yolov5_forward
 
@@ -67,20 +73,22 @@ def test_detect_tail_unchanged_with_groups():
     rng = np.random.default_rng(2)
     imgs = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
     heads = yolov5_forward(params, imgs, cfg)
+    # 64x64 input -> heads 8x8/4x4/2x2 -> two heads have fewer anchors
+    # (48, 12) than pre_nms_topk=64, so their candidate lists are padded
+    from vehicle_counting_tpu.models import decode_predictions
+    from vehicle_counting_tpu.ops.nms import batched_nms
 
-    old = det.TAIL_TOPK_GROUPS
-    try:
-        det.TAIL_TOPK_GROUPS = 1
-        ref = det.fused_detect_tail(
-            heads, cfg, conf_thres=0.001, iou_thres=0.45, max_det=100
-        )
-        det.TAIL_TOPK_GROUPS = 4
-        out = det.fused_detect_tail(
-            heads, cfg, conf_thres=0.001, iou_thres=0.45, max_det=100
-        )
-    finally:
-        det.TAIL_TOPK_GROUPS = old
-    for name in ref:
+    dec = decode_predictions(heads, cfg)
+    want = batched_nms(
+        dec["boxes"], dec["scores"], dec["classes"],
+        iou_threshold=0.45, score_threshold=0.001, max_det=100,
+        pre_nms_topk=64,
+    )
+    got = det.fused_detect_tail(
+        heads, cfg, conf_thres=0.001, iou_thres=0.45, max_det=100,
+        pre_nms_topk=64,
+    )
+    for name in want:
         np.testing.assert_array_equal(
-            np.asarray(out[name]), np.asarray(ref[name]), err_msg=name
+            np.asarray(got[name]), np.asarray(want[name]), err_msg=name
         )

@@ -30,9 +30,10 @@ from vehicle_counting_tpu.ops.nms import nms_selected
 COCO_VEHICLE_MAPPING: Dict[int, int] = {0: 0, 1: 0, 2: 1, 3: 0, 5: 2, 7: 3}
 VEHICLE_CLASS_NAMES: Tuple[str, ...] = ("motorbike", "car", "bus", "truck")
 
-# group count for the detect tail's two-phase exact top-k (1 = plain
-# lax.top_k). Flip after on-chip measurement (benchmarks/micro/topk_bench.py).
-TAIL_TOPK_GROUPS = 1
+# NOTE: a grouped two-phase top-k over the CONCATENATED anchor axis was a
+# measured wash on v5e (benchmarks/micro/topk_bench.py, G=4..49); the win
+# came from going head-wise instead (fused_detect_tail), where the same
+# exactness argument (exact_topk's proof) justifies the per-head merge.
 
 
 def exact_topk(scores: jax.Array, k: int, groups: int = 1):
@@ -86,52 +87,108 @@ def fused_detect_tail(
     max_det: int,
     pre_nms_topk: int = 512,
 ) -> Dict[str, jax.Array]:
-    """Decode + class-aware NMS with box decode DEFERRED past the top-k.
+    """Decode + class-aware NMS, head-wise, with box decode DEFERRED past
+    the top-k.
 
     Bit-identical outputs to `decode_predictions` + `batched_nms` (tested in
-    tests/test_detect_tail.py), but cheaper on TPU: scores for all A anchors
-    need only sigmoid(obj) * sigmoid(max cls logit) — a plain max reduce —
-    so the [B, A, 4] box decode, the A-wide class ARGMAX (a variadic
-    (value, index) reduce, ~3x a plain max on v5e), and their intermediate
-    materializations run on just the pre_nms_topk survivors. Grid/stride
-    per candidate are recovered arithmetically from the anchor index
-    (3-entry table gathers); anchors from a [nh*na, 2] table.
+    tests/test_detect_tail.py), but cheaper on TPU:
+
+      * scores for all A anchors need only sigmoid(obj) * sigmoid(max cls
+        logit) — a plain max reduce — so the [B, A, 4] box decode, the
+        A-wide class ARGMAX, and their materializations run on just the
+        pre_nms_topk survivors;
+      * each head stays in its native [B, HW, na*no] lane layout: scores
+        come from per-anchor lane extracts/reduces and candidates merge via
+        a per-head top-k + one small phase-2 top-k (exact, including the
+        global lower-index tie rule — exact_topk's proof, heads as the
+        index-contiguous groups). The old concatenated [B, A, no] view
+        relayouted + copied ~4.3 MB/frame of head data (~40 us/frame of
+        the tail's 113 on v5e).
+
+    Grid/stride per candidate are recovered arithmetically from the anchor
+    index (3-entry table gathers); anchors from a [nh*na, 2] table.
 
     Exactness: bf16->f32 casts are exact, sigmoid is monotone (argmax/max
-    commute with it), lax.top_k ties break by lower index on the same score
-    array, and the per-candidate decode applies the same f32 ops in the same
-    order as decode_predictions — so every output matches bitwise.
+    commute with it), per-head lax.top_k ties break by lower index and the
+    merge preserves (value desc, global index asc), and the per-candidate
+    decode applies the same f32 ops in the same order as
+    decode_predictions — so every output matches bitwise.
     """
     na, no = cfg.na, cfg.no
-    raws, shapes = [], []
-    for head in heads:
-        b, h, w, _ = head.shape
-        raws.append(head.reshape(b, h * w * na, no))
-        shapes.append((h, w))
-    raw = jnp.concatenate(raws, axis=1)  # [B, A, no] conv compute dtype
-    a_total = raw.shape[1]
-
-    obj = jax.nn.sigmoid(raw[..., 4].astype(jnp.float32))
-    cls_max = jnp.max(raw[..., 5:], axis=-1)  # native dtype reduce
-    scores = obj * jax.nn.sigmoid(cls_max.astype(jnp.float32))  # [B, A]
+    b = heads[0].shape[0]
+    shapes = [(head.shape[1], head.shape[2]) for head in heads]
+    a_total = sum(h * w * na for (h, w) in shapes)
+    k = min(pre_nms_topk, a_total)
 
     # host-side per-head metadata (numpy: no device constants at trace time)
     offs = [0]
     for (h, w) in shapes:
         offs.append(offs[-1] + h * w * na)
-    off_tbl = np.asarray(offs[:-1], np.int32)
-    w_tbl = np.asarray([w for (_, w) in shapes], np.int32)
-    st_tbl = np.asarray([float(s) for s in cfg.strides], np.float32)
+    st_tbl = [float(s) for s in cfg.strides]
     anc_tbl = np.asarray(cfg.anchors, np.float32).reshape(-1, 2)  # [nh*na, 2]
 
-    def per_image(raw_i, sc):
-        conf_ok = sc > conf_thres
-        sc_m = jnp.where(conf_ok, sc, -1.0)
-        k = min(pre_nms_topk, a_total)
-        top_sc, idx = exact_topk(sc_m, k, groups=TAIL_TOPK_GROUPS)
+    # Stay in each head's native [B, HW, na*no] lane layout: assembling the
+    # concatenated [B, A, no] view relayouts + copies ~4.3 MB/frame of bf16
+    # head data (measured ~40 us/frame of the tail's 113 on v5e). Scores
+    # come from lane extracts/reduces on the 255-lane tiles; only the
+    # <= pre_nms_topk candidate rows per head are ever gathered.
+    cand_v, cand_gidx, cand_rows = [], [], []
+    for hi, head in enumerate(heads):
+        hh, wh_ = shapes[hi]
+        hw = hh * wh_
+        flat = head.reshape(b, hw, na * no)  # sublane-only reshape: free
+        # per-anchor score = sigmoid(obj) * sigmoid(max cls logit) — same
+        # values as the concatenated form (bf16 max reduce, f32 sigmoids)
+        s_parts = []
+        for a in range(na):
+            obj_l = flat[:, :, a * no + 4].astype(jnp.float32)
+            cls_m = jnp.max(flat[:, :, a * no + 5 : (a + 1) * no], axis=-1)
+            s_parts.append(
+                jax.nn.sigmoid(obj_l)
+                * jax.nn.sigmoid(cls_m.astype(jnp.float32))
+            )
+        # anchor-minor flatten matches the reference decode order
+        # (index = cell * na + a)
+        sc = jnp.stack(s_parts, axis=-1).reshape(b, hw * na)
+        sc_m = jnp.where(sc > conf_thres, sc, -1.0)
+        kh = min(k, hw * na)
+        v1, i1 = jax.lax.top_k(sc_m, kh)  # [B, kh] in-head, ties index-asc
+        if kh < k:
+            v1 = jnp.pad(v1, ((0, 0), (0, k - kh)), constant_values=-jnp.inf)
+            i1 = jnp.pad(i1, ((0, 0), (0, k - kh)))
+        # candidate rows: gather the 255-lane cell row, then window-select
+        # the anchor's no-lane slice (pure selection, conv dtype preserved)
+        cell1 = i1 // na
+        a1 = i1 % na
+        rows_wide = jnp.take_along_axis(
+            flat, cell1[:, :, None], axis=1
+        )  # [B, k, na*no]
+        r85 = rows_wide[:, :, 0:no]
+        for a in range(1, na):
+            r85 = jnp.where(
+                (a1 == a)[:, :, None],
+                rows_wide[:, :, a * no : (a + 1) * no],
+                r85,
+            )
+        cand_v.append(v1)
+        cand_gidx.append(offs[hi] + i1)
+        cand_rows.append(r85)
+
+    # exact merge: candidates are ordered (head, in-head rank); heads are
+    # index-contiguous ascending and in-head ties come out index-ascending,
+    # so phase-2's lower-position tie rule reproduces lax.top_k's global
+    # lower-index rule (same argument as exact_topk's proof)
+    mv = jnp.concatenate(cand_v, axis=1)        # [B, nh*k]
+    mg = jnp.concatenate(cand_gidx, axis=1)
+    mr = jnp.concatenate(cand_rows, axis=1)     # [B, nh*k, no]
+
+    def per_image(mv_i, mg_i, mr_i):
+        top_sc, pos = jax.lax.top_k(mv_i, k)
+        top_sc = jnp.maximum(top_sc, -1.0)  # -inf pads -> the old masked -1
+        idx = mg_i[pos]
         valid = top_sc > 0
 
-        rows = raw_i[idx]  # [k, no] row gather, conv dtype
+        rows = mr_i[pos]  # [k, no] gather from the small candidate buffer
         cl_k = jnp.argmax(rows[:, 5:], axis=-1).astype(jnp.int32)
         s_xywh = jax.nn.sigmoid(rows[:, 0:4].astype(jnp.float32))
 
@@ -139,9 +196,9 @@ def fused_detect_tail(
         h_id = jnp.zeros_like(idx)
         for o in offs[1:-1]:
             h_id = h_id + (idx >= o).astype(idx.dtype)
-        jj = idx - jnp.asarray(off_tbl)[h_id]
-        ww = jnp.asarray(w_tbl)[h_id]
-        stride = jnp.asarray(st_tbl)[h_id]
+        jj = idx - jnp.asarray(np.asarray(offs[:-1], np.int32))[h_id]
+        ww = jnp.asarray(np.asarray([w for (_, w) in shapes], np.int32))[h_id]
+        stride = jnp.asarray(np.asarray(st_tbl, np.float32))[h_id]
         cell = jj // na
         gx = (cell % ww).astype(jnp.float32)
         gy = (cell // ww).astype(jnp.float32)
@@ -159,7 +216,7 @@ def fused_detect_tail(
             iou_threshold=iou_thres, max_det=max_det,
         )
 
-    return jax.vmap(per_image)(raw, scores)
+    return jax.vmap(per_image)(mv, mg, mr)
 
 
 @partial(

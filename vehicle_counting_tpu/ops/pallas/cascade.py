@@ -466,3 +466,411 @@ def pallas_cascade_supported() -> bool:
         except Exception:
             _SUPPORTED = False
     return _SUPPORTED
+
+
+# ---------------------------------------------------------------------------
+# Class-parallel variant: ALL classes in ONE grid step, Dijkstra batched on
+# sublanes.
+#
+# The grid=(C,) kernel above serializes classes (vmap of pallas_call maps to
+# grid dims): measured on v5e the launch cost is linear in C (155 us for one
+# class at 30 tracks/dets vs 628 us for four), because every class pays its
+# own full cascade/Dijkstra iteration count. But the per-iteration vector
+# work is [1, L] — an eighth of a vreg. This body carries every per-class
+# lane vector as [C, L] and every per-class scalar as [C, 1], so all C
+# Dijkstra state machines advance in the SAME while-loop iterations and the
+# total iteration count becomes the MAX over classes instead of the SUM.
+# Classes at different cascade levels / row counts simply freeze (every
+# update is masked by that class's active predicate) — each class's masked
+# execution is op-for-op identical to its solo run, so results are bitwise
+# identical to cascade_match_batched (verified by tests/test_pallas_cascade
+# and benchmarks/micro/tpu_cascade_check.py).
+#
+# Layout notes: broadcast matrices stack classes on sublanes as [C*K, L]
+# (per-class [K, L] blocks); class-block reduces unroll over the (static,
+# small) C with native sublane reduces on STATIC slices — exact, no matmul
+# rounding to reason about. rep() (lane-preserving class broadcast) is a
+# pure broadcast+reshape; to_bcast keeps the one-hot matmul form.
+# ---------------------------------------------------------------------------
+
+
+def _cascade_cp_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
+                            meta_ref, thr_ref, out_ref, mat_ref, *, c: int,
+                            k: int, max_age: int):
+    """All C classes' association in one grid step (see block comment)."""
+    lanes = out_ref.shape[2]
+    root = k
+    ck = c * k
+    assert k <= 256, "bf16 1-pass one-hot transposes are exact only to 256"
+
+    i32min = jnp.int32(-2147483648)
+    i32max = jnp.int32(2147483647)
+
+    lane_CL = jax.lax.broadcasted_iota(jnp.int32, (c, lanes), 1)
+    row_CKL = jax.lax.broadcasted_iota(jnp.int32, (c, k, lanes), 1).reshape(
+        ck, lanes
+    )  # r within class, tiled
+    lane_CKL = jax.lax.broadcasted_iota(jnp.int32, (ck, lanes), 1)
+    eye_rl = (row_CKL == lane_CKL).astype(jnp.float32)  # tiled per-class diag
+    ones_LL = jnp.ones((lanes, lanes), jnp.float32)
+    sub_C1 = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+
+    def rep(v):
+        """[C, L] -> [C*K, L]: out[c*K+r, :] = v[c, :] (lane-preserving)."""
+        return jnp.broadcast_to(v[:, None, :], (c, k, lanes)).reshape(ck, lanes)
+
+    def rep1(v_c1):
+        """[C, 1] -> [C*K, 1]: per-class scalar tiled over class rows."""
+        return jnp.broadcast_to(v_c1[:, None, :], (c, k, 1)).reshape(ck, 1)
+
+    def to_bcast(v_lane_i32, big: bool = True):
+        """[C, L] i32 -> [C*K, L] i32 with out[c*K+r, :] = v[c, r].
+
+        Same exact one-hot matmul as the grid kernel's to_bcast, batched:
+        each row-sum has exactly one nonzero term; small ints are exact in
+        one bf16 pass, values that can exceed 256 take HIGHEST.
+        """
+        d = rep(v_lane_i32).astype(jnp.float32) * eye_rl
+        m = jax.lax.dot(d, ones_LL, precision=_HI if big else None)
+        return m.astype(jnp.int32)
+
+    def creduce_sum(x):
+        """[C*K, L] -> [C, L] per-class row sums (static slices, native)."""
+        return jnp.concatenate(
+            [
+                jnp.sum(x[i * k : (i + 1) * k, :], axis=0, keepdims=True)
+                for i in range(c)
+            ],
+            axis=0,
+        )
+
+    def pick_i32(vec, j):
+        """vec[cls, j[cls]] per class: [C, L], [C, 1] -> [C, 1]."""
+        return jnp.max(
+            jnp.where(lane_CL == j, vec, i32min), axis=1, keepdims=True
+        )
+
+    def pick_f32(vec, j):
+        return jnp.sum(jnp.where(lane_CL == j, vec, 0.0), axis=1, keepdims=True)
+
+    def load_rows(i0):
+        """mat_ref[cls, i0[cls], :] per class: [C, 1] i32 -> [C, L] f32."""
+        rows = []
+        for cc in range(c):
+            i0_c = jnp.sum(jnp.where(sub_C1 == cc, i0, 0))
+            i0_c = jnp.clip(i0_c, 0, k - 1)  # frozen classes may carry -1
+            rows.append(mat_ref[cc, pl.ds(i0_c, 1), :])
+        return jnp.concatenate(rows, axis=0)
+
+    meta = meta_ref[...]
+    lvl_l = meta[:, 0, :]
+    tent_l = meta[:, 1, :]
+    crank_l = meta[:, 2, :]
+    irank_l = meta[:, 3, :]
+    dorder_l = meta[:, 4, :]
+    dvalid_l = meta[:, 5, :]
+
+    crank_b = to_bcast(crank_l, big=False)
+    irank_b = to_bcast(irank_l, big=False)
+
+    def solve(cost_ref, costT_ref, rows_l, rows_b, rkey_l, rkey_b, det_free_l,
+              det_key_l):
+        """min_cost_matching for all classes at once; frozen classes inert.
+
+        Returns p [C, L] i32 and flip [C, 1] i32 (see the grid kernel's
+        solve for the per-class semantics)."""
+        nr = jnp.sum(rows_l, axis=1, keepdims=True)        # [C, 1]
+        nc = jnp.sum(det_free_l, axis=1, keepdims=True)
+        flip = (nr > nc).astype(jnp.int32)
+        n_ins = jnp.minimum(nr, nc)
+
+        free_b = to_bcast(det_free_l, big=False)
+        dkey_b = to_bcast(det_key_l, big=True)
+
+        mat_ref[...] = jnp.where(
+            (flip != 0)[:, :, None], costT_ref[...], cost_ref[...]
+        )
+
+        prank_b = jnp.sum(
+            jnp.where((rep(rows_l) != 0) & (rep(rkey_l) < rkey_b), 1, 0),
+            axis=1, keepdims=True,
+        )  # [C*K, 1]
+        drank_b = jnp.sum(
+            jnp.where(
+                (rep(det_free_l) != 0) & (rep(det_key_l) < dkey_b), 1, 0
+            ),
+            axis=1, keepdims=True,
+        )
+        flip_ck = rep1(flip)
+        ins_rank_b = jnp.where(flip_ck != 0, drank_b, prank_b)  # [C*K, 1]
+        ins_part_b = jnp.where(flip_ck != 0, free_b, rows_b)    # [C*K, L]
+
+        live_l = jnp.where(flip != 0, rows_l, det_free_l)       # [C, L]
+        key_l = jnp.where(flip != 0, rkey_l, det_key_l)
+
+        sel_m = (ins_rank_b == lane_CKL) & (ins_part_b != 0)
+        ins_orig = creduce_sum(jnp.where(sel_m, row_CKL, 0))    # [C, L]
+
+        u0 = jnp.zeros((c, lanes), jnp.float32)
+        v0 = jnp.zeros((c, lanes), jnp.float32)
+        p0 = jnp.full((c, lanes), -1, jnp.int32)
+        n_max = jnp.max(n_ins)
+
+        def insert_row(pos, carry):
+            u, v, p = carry
+            act_row = pos < n_ins                               # [C, 1]
+            orig = jnp.max(
+                jnp.where(lane_CL == pos, ins_orig, i32min),
+                axis=1, keepdims=True,
+            )
+            p = jnp.where(act_row & (lane_CL == root), orig, p)
+
+            def dij_cond(st):
+                _, _, _, _, j0, _, _ = st
+                return jnp.any(act_row & (pick_i32(p, j0) != -1))
+
+            def dij_body(st):
+                u_, v_, minv, way, j0, used_i, hit_i = st
+                act = act_row & (pick_i32(p, j0) != -1)         # [C, 1]
+                used_i = jnp.where(
+                    act,
+                    jnp.maximum(used_i, (lane_CL == j0).astype(jnp.int32)),
+                    used_i,
+                )
+                used = used_i != 0
+                i0 = pick_i32(p, j0)
+                hit_i = jnp.where(
+                    act,
+                    jnp.maximum(hit_i, (lane_CL == i0).astype(jnp.int32)),
+                    hit_i,
+                )
+                cost_row = load_rows(i0)
+                cur = cost_row - pick_f32(u_, i0) - v
+                better = (live_l != 0) & (~used) & (cur < minv) & act
+                minv = jnp.where(better, cur, minv)
+                way = jnp.where(better, j0, way)
+                masked = jnp.where(used | (live_l == 0), _INF, minv)
+                delta = jnp.min(masked, axis=1, keepdims=True)  # [C, 1]
+                tied = masked == delta
+                kmin = jnp.min(
+                    jnp.where(tied, key_l, i32max), axis=1, keepdims=True
+                )
+                j1 = jnp.min(
+                    jnp.where(tied & (key_l == kmin), lane_CL, lanes),
+                    axis=1, keepdims=True,
+                ).astype(jnp.int32)
+                u_ = jnp.where(
+                    act, u_ + jnp.where(hit_i != 0, delta, 0.0), u_
+                )
+                v_ = jnp.where(act, v_ - jnp.where(used, delta, 0.0), v_)
+                minv = jnp.where(
+                    act & ~(used | (live_l == 0)), minv - delta, minv
+                )
+                j0 = jnp.where(act, j1, j0)
+                return u_, v_, minv, way, j0, used_i, hit_i
+
+            st0 = (
+                u, v,
+                jnp.full((c, lanes), _INF, jnp.float32),
+                jnp.full((c, lanes), root, jnp.int32),
+                jnp.full((c, 1), root, jnp.int32),
+                jnp.zeros((c, lanes), jnp.int32),
+                jnp.zeros((c, lanes), jnp.int32),
+            )
+            u, v, minv, way, j0, used, _ = jax.lax.while_loop(
+                dij_cond, dij_body, st0
+            )
+
+            def aug_cond(st):
+                j0_, _ = st
+                return jnp.any(act_row & (j0_ != root))
+
+            def aug_body(st):
+                j0_, p_ = st
+                a = act_row & (j0_ != root)                     # [C, 1]
+                j1 = pick_i32(way, j0_)
+                p_ = jnp.where(a & (lane_CL == j0_), pick_i32(p_, j1), p_)
+                j0_ = jnp.where(a, j1, j0_)
+                return j0_, p_
+
+            j0 = jnp.where(act_row, j0, jnp.full((c, 1), root, jnp.int32))
+            _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
+            return u, v, p
+
+        _, _, p = jax.lax.fori_loop(0, n_max, insert_row, (u0, v0, p0))
+        return p, flip
+
+    def stage(cost_ref, costT_ref, rows_l, rows_b, rkey_l, rkey_b, thr, base,
+              state):
+        """One matching stage for all classes (base: [C, 1] or scalar)."""
+        det_free_l, det_key_l, out_row_l, matched_ck = state
+        p, flip = solve(
+            cost_ref, costT_ref, rows_l, rows_b, rkey_l, rkey_b,
+            det_free_l, det_key_l,
+        )
+        flip_ck = rep1(flip)
+
+        b_norm = (rep(p) == row_CKL).astype(jnp.int32)
+        b_flip = (to_bcast(p, big=False) == lane_CKL).astype(jnp.int32)
+        B = jnp.where(flip_ck != 0, b_flip, b_norm) != 0
+        B = B & (lane_CKL < k)
+
+        cost_mat = cost_ref[...].reshape(ck, lanes)
+        # per-class row sums with <= 1 nonzero per (class, lane): native
+        # static-slice reduces, exact
+        cost_at = creduce_sum(jnp.where(B, cost_mat, 0.0))      # [C, L]
+        paired = creduce_sum(B.astype(jnp.int32)) != 0
+        accept = paired & (cost_at <= thr)
+        reject = paired & ~accept
+
+        accept_ck = rep(accept.astype(jnp.int32)) != 0
+        row_of = creduce_sum(jnp.where(B, row_CKL, 0))
+        out_row_l = jnp.where(accept, row_of, out_row_l)
+        det_free_l = jnp.where(accept, 0, det_free_l)
+        matched_ck = jnp.maximum(
+            matched_ck,
+            jnp.any(B & accept_ck, axis=1, keepdims=True).astype(jnp.int32),
+        )  # [C*K, 1]
+
+        reject_ck = rep(reject.astype(jnp.int32)) != 0
+        rej_row_1 = jnp.any(B & reject_ck, axis=1, keepdims=True).astype(
+            jnp.int32
+        )  # [C*K, 1]
+        # lane view per class: diagonal extraction through the tiled eye
+        rej_row_l = creduce_sum(
+            jnp.where(eye_rl != 0, jnp.broadcast_to(rej_row_1, (ck, lanes)), 0)
+        )  # [C, L]
+        rejrank_b = jnp.sum(
+            jnp.where((rep(rej_row_l) != 0) & (rep(rkey_l) < rkey_b), 1, 0),
+            axis=1, keepdims=True,
+        )
+        rej_rank_det = creduce_sum(
+            jnp.where(
+                B & reject_ck, jnp.broadcast_to(rejrank_b, (ck, lanes)), 0
+            )
+        )
+        det_key_l = jnp.where(reject, base * k + rej_rank_det, det_key_l)
+        return det_free_l, det_key_l, out_row_l, matched_ck
+
+    # ---- cascade over occupied age levels (per-class level cursors) -------
+    thr_c = thr_ref[0]
+    thr_i = thr_ref[1]
+
+    det_free0 = dvalid_l
+    det_key0 = dorder_l
+    out_row0 = jnp.full((c, lanes), -1, jnp.int32)
+    matched0 = jnp.zeros((ck, 1), jnp.int32)
+
+    first_level = jnp.min(lvl_l, axis=1, keepdims=True)     # [C, 1]
+
+    def level_cond(carry):
+        level, st = carry
+        free_cnt = jnp.sum(st[0], axis=1, keepdims=True)
+        return jnp.any((level != LVL_SENTINEL) & (free_cnt > 0))
+
+    def level_body(carry):
+        level, st = carry
+        free_cnt = jnp.sum(st[0], axis=1, keepdims=True)
+        act = (level != LVL_SENTINEL) & (free_cnt > 0)       # [C, 1]
+        rows_l = ((lvl_l == level) & act).astype(jnp.int32)  # [C, L]
+        rows_b = to_bcast(rows_l, big=False)
+        st = stage(cost_c_ref, costT_c_ref, rows_l, rows_b, crank_l, crank_b,
+                   thr_c, 1 + level, st)
+        nxt = jnp.min(
+            jnp.where(lvl_l > level, lvl_l, LVL_SENTINEL),
+            axis=1, keepdims=True,
+        )
+        level = jnp.where(act, nxt, level)
+        return level, st
+
+    _, st = jax.lax.while_loop(
+        level_cond, level_body,
+        (first_level, (det_free0, det_key0, out_row0, matched0)),
+    )
+
+    # ---- IoU stage ---------------------------------------------------------
+    det_free_l, det_key_l, out_row_l, matched_ck = st
+    matched_l = creduce_sum(
+        jnp.where(
+            eye_rl != 0, jnp.broadcast_to(matched_ck, (ck, lanes)), 0
+        )
+    )  # [C, L]
+    iou_rows_l = ((tent_l != 0) | ((lvl_l == 0) & (matched_l == 0))).astype(
+        jnp.int32
+    )
+    iou_rows_b = to_bcast(iou_rows_l, big=False)
+    st = stage(cost_i_ref, costT_i_ref, iou_rows_l, iou_rows_b, irank_l,
+               irank_b, thr_i, jnp.full((c, 1), 1 + max_age, jnp.int32),
+               (det_free_l, det_key_l, out_row_l, matched_ck))
+    det_free_l, det_key_l, out_row_l, _ = st
+
+    out_ref[...] = jnp.concatenate(
+        [
+            out_row_l[:, None, :],
+            det_free_l[:, None, :],
+            det_key_l[:, None, :],
+            jnp.zeros((c, 5, lanes), jnp.int32),
+        ],
+        axis=1,
+    )
+
+
+def _cascade_pallas_cp(cost_c, costT_c, cost_i, costT_i, meta, thrs, *,
+                       max_age: int, interpret: bool = False):
+    """[C, K, L] problems, ONE launch, ONE grid step (class-parallel)."""
+    c, k, lanes = cost_c.shape
+    return pl.pallas_call(
+        partial(_cascade_cp_kernel_body, c=c, k=k, max_age=max_age),
+        out_shape=jax.ShapeDtypeStruct((c, 8, lanes), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((c, k, lanes), jnp.float32)],
+        interpret=interpret,
+    )(cost_c, costT_c, cost_i, costT_i, meta, thrs)
+
+
+@partial(jax.jit, static_argnames=("max_age", "interpret"))
+def cascade_match_classparallel(gated_c, iou_c, lvl_of, tentative, crank,
+                                irank, det_valid, det_order, max_dist,
+                                max_iou, *, max_age: int,
+                                interpret: bool = False):
+    """cascade_match_batched twin with classes batched on sublanes.
+
+    Same [C]-leading arguments and returns; bitwise-identical results. One
+    grid step for ALL classes: total Dijkstra/cascade iterations are the
+    max over classes instead of the sum (measured 628 -> ~230 us at C=4,
+    30 tracks+dets/class on v5e)."""
+    k = gated_c.shape[1]
+    ops = _prep_inputs(gated_c, iou_c, lvl_of, tentative, crank, irank,
+                       det_valid, det_order, max_dist, max_iou)
+    out = _cascade_pallas_cp(*ops, max_age=max_age, interpret=interpret)
+    out_row = out[:, 0, :k]
+    det_free = out[:, 1, :k] != 0
+    det_key = out[:, 2, :k]
+    return det_free, det_key, out_row
+
+
+_CP_SUPPORTED = None
+
+
+def pallas_cascade_cp_supported() -> bool:
+    """Probe once whether this backend compiles the class-parallel kernel."""
+    global _CP_SUPPORTED
+    if _CP_SUPPORTED is None:
+        try:
+            k = 8
+            g = jnp.full((2, k, k), 0.1, jnp.float32)
+            i = jnp.full((2, k, k), 0.3, jnp.float32)
+            lvl = jnp.zeros((2, k), jnp.int32)
+            tent = jnp.zeros((2, k), jnp.int32)
+            rank = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (2, k))
+            valid = jnp.ones((2, k), jnp.int32)
+            r = cascade_match_classparallel(
+                g, i, lvl, tent, rank, rank, valid, rank, 0.2, 0.6, max_age=4
+            )
+            jax.block_until_ready(r)
+            _CP_SUPPORTED = True
+        except Exception:
+            _CP_SUPPORTED = False
+    return _CP_SUPPORTED

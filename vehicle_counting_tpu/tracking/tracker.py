@@ -330,6 +330,28 @@ def _stable_rank(keys: jax.Array) -> jax.Array:
 # False: force the staged XLA path.
 FORCE_PALLAS_CASCADE = None
 
+# None: auto (class-parallel kernel when it compiles — all classes' Dijkstra
+# state machines advance in the same loop iterations, so the fused-cascade
+# cost is the max over classes instead of the sum; measured 3.3x at C=4,
+# 30 dets/class on v5e). False pins the one-grid-step-per-class kernel.
+# Trace-time knob like FORCE_PALLAS_CASCADE (flips need fresh jit traces).
+CASCADE_CLASS_PARALLEL = None
+
+
+def _use_class_parallel(interpret: bool) -> bool:
+    if CASCADE_CLASS_PARALLEL is False:
+        return False
+    if interpret:
+        return True
+    try:
+        from vehicle_counting_tpu.ops.pallas.cascade import (
+            pallas_cascade_cp_supported,
+        )
+
+        return pallas_cascade_cp_supported()
+    except Exception:
+        return False
+
 
 def _cascade_kernel_mode(hp) -> str:
     """'off' | 'compile' | 'interpret' — trace-time dispatch decision."""
@@ -376,11 +398,22 @@ def _make_cascade_match(max_dist: float, max_iou: float, max_age: int,
 
     @match.def_vmap
     def _vmap_rule(axis_size, in_batched, *args):
+        from vehicle_counting_tpu.ops.pallas.cascade import (
+            cascade_match_classparallel,
+        )
+
         args = [
             a if b else jnp.broadcast_to(a, (axis_size,) + jnp.shape(a))
             for a, b in zip(args, in_batched)
         ]
-        out = cascade_match_batched(
+        # class-parallel kernel when available: one grid step for ALL
+        # classes (sublane-batched Dijkstra) instead of one per class
+        fn = (
+            cascade_match_classparallel
+            if _use_class_parallel(interpret)
+            else cascade_match_batched
+        )
+        out = fn(
             *args, max_dist, max_iou, max_age=max_age, interpret=interpret
         )
         return out, (True, True, True)
