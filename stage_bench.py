@@ -88,7 +88,7 @@ def main():
     )
     from vehicle_counting_tpu.ops.letterbox import (
         host_letterbox_yuv420, letterbox_params, restore_boxes,
-        yuv420_content_to_full, yuv420_to_rgb,
+        yuv420_content_to_full, yuv420_to_rgb_u8,
     )
 
     from vehicle_counting_tpu.pipeline.step import pipeline_batch_step
@@ -151,8 +151,8 @@ def main():
         @jax.jit
         def detect_only(params, fr):
             full = yuv420_content_to_full(fr, (H, W), det_hw)
-            rgb = yuv420_to_rgb(full)
-            heads = yolov5_forward(params, (rgb / 255.0).astype(jnp.bfloat16), ycfg, dtype=jnp.bfloat16)
+            rgb = yuv420_to_rgb_u8(full)  # the pipeline's exact u8 pixel path
+            heads = yolov5_forward(params, (rgb.astype(jnp.float32) / 255.0).astype(jnp.bfloat16), ycfg, dtype=jnp.bfloat16)
             det = fused_detect_tail(
                 heads, ycfg, conf_thres=0.25, iou_thres=0.45, max_det=300,
             )
@@ -172,8 +172,8 @@ def main():
         @jax.jit
         def fwd_only(params, fr):
             full = yuv420_content_to_full(fr, (H, W), det_hw)
-            rgb = yuv420_to_rgb(full)
-            heads = yolov5_forward(params, (rgb / 255.0).astype(jnp.bfloat16), ycfg, dtype=jnp.bfloat16)
+            rgb = yuv420_to_rgb_u8(full)  # the pipeline's exact u8 pixel path
+            heads = yolov5_forward(params, (rgb.astype(jnp.float32) / 255.0).astype(jnp.bfloat16), ycfg, dtype=jnp.bfloat16)
             # tiny reduction so the heads are consumed without the tail
             return [h.sum() for h in heads]
 
@@ -191,7 +191,7 @@ def main():
         @jax.jit
         def heads_only(params, fr):
             full = yuv420_content_to_full(fr, (H, W), det_hw)
-            rgb = yuv420_to_rgb(full)
+            rgb = yuv420_to_rgb_u8(full).astype(jnp.float32)
             return yolov5_forward(params, (rgb / 255.0).astype(jnp.bfloat16), ycfg, dtype=jnp.bfloat16)
 
         heads = jax.block_until_ready(heads_only(yolo_params, frames))
@@ -215,7 +215,7 @@ def main():
 
     if "embed" in stages:
         full = yuv420_content_to_full(frames, (H, W), det_hw)
-        crop_source = yuv420_to_rgb(full).astype(jnp.uint8)
+        crop_source = yuv420_to_rgb_u8(full)
         crop_source = jax.device_put(jax.block_until_ready(crop_source))
         out = [None]
 
@@ -239,7 +239,7 @@ def main():
         from vehicle_counting_tpu.models.reid import reid_forward as _rf
 
         full = yuv420_content_to_full(frames, (H, W), det_hw)
-        crop_source = yuv420_to_rgb(full).astype(jnp.uint8)
+        crop_source = yuv420_to_rgb_u8(full)
         crop_source = jax.device_put(jax.block_until_ready(crop_source))
         n_crops = B * k  # total valid crops (30/frame)
         fidx = jnp.asarray(np.repeat(np.arange(B), k), jnp.int32)

@@ -344,7 +344,7 @@ class CountingPipeline:
             content_upload_exact,
             host_letterbox_yuv420,
             yuv420_content_to_full,
-            yuv420_to_rgb,
+            yuv420_to_rgb_u8,
         )
 
         cam_name = self.get_cam_name(video_path)
@@ -362,7 +362,7 @@ class CountingPipeline:
         def to_rgb(yuv_dev):
             if content_only:
                 yuv_dev = yuv420_content_to_full(yuv_dev, src_hw, self.image_size)
-            return yuv420_to_rgb(yuv_dev).astype(jnp.uint8)
+            return yuv420_to_rgb_u8(yuv_dev)
 
         for frames, frame_ids, valid in reader.batches():
             yuv = host_letterbox_yuv420(frames, self.image_size, content_only=content_only)

@@ -72,7 +72,7 @@ def pipeline_batch_step(
     from vehicle_counting_tpu.ops.letterbox import (
         letterbox_params,
         yuv420_content_to_full,
-        yuv420_to_rgb,
+        yuv420_to_rgb_u8,
     )
 
     if frames_format == "raw_rgb":
@@ -89,13 +89,13 @@ def pipeline_batch_step(
             if frames.shape[1] != image_size[0] * 3 // 2:
                 # content-only upload: re-insert the constant gray padding
                 frames = yuv420_content_to_full(frames, src_hw, image_size)
-            rgb = yuv420_to_rgb(frames)  # [B, dh, dw, 3] f32 0..255
-            # quantize ONCE to uint8 — the only materialized full-res buffer
-            # (157 MB/batch at B=128 vs 629 MB for f32 rgb, which previously
-            # fed two consumers). This is also the reference's exact pixel
-            # path: video decode yields uint8 RGB, the detector sees u8/255
-            # (utilities/postprocess.py letterbox on uint8 frames).
-            crop_source = rgb.astype(jnp.uint8)
+            # quantized ONCE to uint8 — the only materialized full-res
+            # buffer (157 MB/batch at B=128 vs 629 MB for f32 rgb, which
+            # previously fed two consumers). This is also the reference's
+            # exact pixel path: video decode yields uint8 RGB, the detector
+            # sees u8/255 (utilities/postprocess.py letterbox on uint8
+            # frames). yuv420_to_rgb_u8 == yuv420_to_rgb + u8 cast exactly.
+            crop_source = yuv420_to_rgb_u8(frames)
             imgs = (crop_source.astype(jnp.float32) / 255.0).astype(dtype)
         elif frames_format == "letterboxed_rgb":
             crop_source = frames
