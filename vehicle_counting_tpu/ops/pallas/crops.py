@@ -56,6 +56,15 @@ OH = 50            # output crop size (reference CROP_SIZE)
 ROWS = 64          # sublane half: y0 taps at rows [0, 64), y1 at [64, 128)
 T_SMALL = 96       # small band tier (rows); covers tap spans <= 64 after
                    # the 32-row DMA start alignment
+T_MID = 352        # middle band tier (rows): crops up to ~320 px tall skip
+                   # the full-frame DMA (a 640-row band costs ~4x the 352
+                   # one; kernel 52.7 -> 43.7 us/frame on the bench load).
+                   # NEGATIVE RESULT (don't retry): adding 128-aligned
+                   # COLUMN windows (256-lane DMA slices) made the kernel
+                   # 2.3x SLOWER (120 us/frame) — a col-windowed band is t
+                   # separate 256 B row segments instead of one contiguous
+                   # block, and the DMA goes descriptor-bound. Row bands on
+                   # the planar frame are contiguous; tier rows only.
 OL = 64            # lane count holding the 50 output columns
 _HI = jax.lax.Precision.HIGHEST
 
@@ -75,9 +84,9 @@ def _crop_kernel_body(ints_ref, colmeta_ref, ymeta_ref, frames_ref, out_ref,
     rides under crop g's matmuls and the step overhead amortizes G ways.
 
     ints_ref flat [4 * D_pad] i32 SMEM, 4 per crop: (frame idx, ylo, yhi,
-    unused) — ylo/yhi the min/max clipped tap rows (band coverage). Flat
-    1-D because SMEM-prefetch 2-D rows are lane-padded to 128 (a [D, 4]
-    layout costs 512 B/crop of the 1 MB SMEM).
+    unused) — ylo/yhi the min/max clipped tap rows (the band coverage
+    requirement). Flat 1-D because SMEM-prefetch 2-D rows are lane-padded
+    to 128 (a [D, 4] layout costs 512 B/crop of the 1 MB SMEM).
     colmeta_ref block [G, 8, OL] f32: sublane 0 x0c, 1 x1c (clipped column
     taps, -1 beyond OH), 2 fx.
     ymeta_ref block [G, 8, 2*ROWS] f32: sublane 0 = concat(y0c, y1c) at
@@ -93,28 +102,33 @@ def _crop_kernel_body(ints_ref, colmeta_ref, ymeta_ref, frames_ref, out_ref,
     n2 = 2 * ROWS
 
     # constants shared by every crop in the step
-    wq = jax.lax.broadcasted_iota(jnp.int32, (w, OL), 0)
     sub = jax.lax.broadcasted_iota(jnp.int32, (n2, n2), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (n2, n2), 1)
     eye = (sub == lane).astype(jnp.float32)
+
+    # static row-band tier menu (32-row-aligned starts). Coverage
+    # conditions are exact: a tier of extent T with start q*32,
+    # q = min(ylo // 32, (h - T) // 32), covers [ylo, yhi] iff
+    # yhi - q*32 < T (the start is always <= ylo since q <= ylo // 32).
+    row_tiers = [t for t in (T_SMALL, T_MID) if t < h] + [h]
 
     def meta(g):
         j = i * G_CROPS + g
         return ints_ref[4 * j], ints_ref[4 * j + 1], ints_ref[4 * j + 2]
 
-    def band_start(g, t, ylo):
+    def band_start(ylo, t):
         # 32-row-aligned dynamic DMA start (i8 VMEM tiles pack 4 rows x 8
         # sublanes): keep the min INSIDE and the *32 syntactic so Mosaic's
         # divisibility analysis can prove the memref-slice offset legal.
         # The floor-div keeps the band inside the frame for ANY h (the
-        # small-tier condition separately guarantees the band still covers
-        # the crop); for t == h the start is provably 0.
+        # tier condition separately guarantees the band still covers the
+        # crop); for t == h the start is provably 0.
         q = jnp.minimum(jnp.maximum(ylo, 0) // 32, (h - t) // 32)
         return q * 32
 
     def band_dma(g, slot, t, wait):
         fi, ylo, _ = meta(g)
-        start = band_start(g, t, ylo)
+        start = band_start(ylo, t)
         for c in range(3):
             cp = pltpu.make_async_copy(
                 frames_ref.at[fi, c, pl.ds(start, t), :],
@@ -124,23 +138,45 @@ def _crop_kernel_body(ints_ref, colmeta_ref, ymeta_ref, frames_ref, out_ref,
             cp.wait() if wait else cp.start()
 
     def tiered(g, fn):
-        """Run fn(t) under the crop's band tier (matching start/wait)."""
-        if h <= T_SMALL:
-            fn(h)  # frame fits the small band anyway: single static path
-        else:
-            _, ylo, yhi = meta(g)
-            # small iff (a) the 32-aligned-down start still covers the tap
-            # span and (b) the deepest legal 32-aligned band reaches yhi
-            # (only binding when h % 32 != 0 — the band may stop short of
-            # the frame bottom)
-            reach = 32 * ((h - T_SMALL) // 32) + T_SMALL  # static
-            small = ((yhi - ylo) <= (T_SMALL - 32)) & (yhi < reach)
-            pl.when(small)(lambda: fn(T_SMALL))
-            pl.when(jnp.logical_not(small))(lambda: fn(h))
+        """Run fn(t) under the crop's row-band tier — the dispatch is
+        identical for the DMA start, the wait, and the compute, so the
+        shapes always agree."""
+        _, ylo, yhi = meta(g)
+
+        def row_cond(t):
+            if t == h:
+                return None  # last tier: always eligible
+            return (yhi - band_start(ylo, t)) < t
+
+        def first_match(conds):
+            """Turn eligibility conds into exclusive first-match conds.
+
+            conds are ordered smallest tier first; None means constant-true
+            (only the last, full-extent tier). Result: cond_i & ~any(prev).
+            """
+            out = []
+            acc = None  # OR of all previous conds (None = constant-false)
+            for cnd in conds:
+                if acc is None:
+                    out.append(cnd)
+                elif cnd is None:
+                    out.append(jnp.logical_not(acc))
+                else:
+                    out.append(cnd & jnp.logical_not(acc))
+                if cnd is not None:
+                    acc = cnd if acc is None else acc | cnd
+            return out
+
+        for t, rc in zip(row_tiers, first_match([row_cond(t) for t in row_tiers])):
+            if rc is None:
+                fn(t)
+            else:
+                pl.when(rc)(lambda t=t: fn(t))
 
     def compute(g, slot, t):
         _, ylo, _ = meta(g)
-        start = band_start(g, t, ylo)
+        start = band_start(ylo, t)
+        wq = jax.lax.broadcasted_iota(jnp.int32, (w, OL), 0)
 
         # column one-hot bilinear weights — same values/dtype as
         # _columns_matmul's sel (ops/crops.py:73-104): both taps in one
