@@ -229,3 +229,85 @@ def test_converted_checkpoint_drives_detection(fake_ckpt, rng):
         np.testing.assert_allclose(
             np.asarray(got), ref.numpy().transpose(0, 2, 3, 1), atol=2e-4, rtol=1e-3
         )
+
+
+def test_converted_weights_non169_end_to_end(fake_ckpt, rng):
+    """Converted-checkpoint detect parity END-TO-END on a NON-16:9 source
+    (VERDICT r2 next-6): the host full-frame I420 letterbox branch
+    (content_upload_exact FALSE — odd content top row), YOLO forward with
+    the CONVERTED pytree, the fused decode+NMS tail, and the letterbox
+    coordinate restore — against an oracle that runs the SAME letterboxed
+    pixels through the torch reference forward (fp16-rounded weights), the
+    staged decode+NMS path, and an independent numpy implementation of the
+    restore contract (/root/reference/utilities/postprocess.py:72-109:
+    gain = min(dst/src), half/half padding, subtract pad, divide gain,
+    clip to source bounds). Catches real-checkpoint layout or coordinate-
+    restore regressions that the pure-forward parity test cannot."""
+    from vehicle_counting_tpu.models import decode_predictions
+    from vehicle_counting_tpu.models.detector import fused_detect_tail
+    from vehicle_counting_tpu.models.yolo import yolov5_forward
+    from vehicle_counting_tpu.ops.letterbox import (
+        content_upload_exact,
+        host_letterbox_yuv420,
+        restore_boxes,
+        yuv420_to_rgb_u8,
+    )
+    from vehicle_counting_tpu.ops.nms import batched_nms
+
+    src_hw, dst_hw = (73, 100), (96, 96)
+    # gain .96 -> new_h 70, pad_y 13: content rows start on an ODD row, so
+    # the thin content-only upload is NOT exact and the pipeline must ship
+    # full letterboxed frames (pipeline/__init__.py content_only branch)
+    assert not content_upload_exact(src_hw, dst_hw)
+
+    path, sd = fake_ckpt
+    params = load_yolov5_weights(path)
+
+    frames = rng.integers(0, 255, size=(2, *src_hw, 3), dtype=np.uint8)
+    yuv = host_letterbox_yuv420(frames, dst_hw)  # full-frame branch
+    assert yuv.shape == (2, dst_hw[0] * 3 // 2, dst_hw[1])
+    # both paths below consume the SAME letterboxed pixels (the YUV->RGB
+    # roundtrip's own bit-exactness is pinned by test_yuv420)
+    rgb = np.asarray(yuv420_to_rgb_u8(jnp.asarray(yuv)))
+
+    x = jnp.asarray(rgb).astype(jnp.float32) / 255.0
+    heads = yolov5_forward(params, x, CFG, dtype=jnp.float32)
+    got = fused_detect_tail(heads, CFG, conf_thres=0.25, iou_thres=0.45, max_det=32)
+    got_boxes = np.asarray(restore_boxes(got["boxes"], src_hw, dst_hw))
+
+    sd16 = {
+        k[len("model."):]: v.astype(np.float16).astype(np.float32)
+        for k, v in sd.items()
+    }
+    with torch.no_grad():
+        theads = torch_forward(
+            sd16,
+            torch.from_numpy((rgb.astype(np.float32) / 255.0).transpose(0, 3, 1, 2)),
+        )
+    theads = [jnp.asarray(h.numpy().transpose(0, 2, 3, 1)) for h in theads]
+    dec = decode_predictions(theads, CFG)
+    ref = batched_nms(
+        dec["boxes"], dec["scores"], dec["classes"],
+        iou_threshold=0.45, score_threshold=0.25, max_det=32,
+    )
+
+    # independent numpy restore straight from the reference contract
+    sh, sw = src_hw
+    dh, dw = dst_hw
+    gain = min(dh / sh, dw / sw)
+    pad_x, pad_y = (dw - round(sw * gain)) / 2, (dh - round(sh * gain)) / 2
+    rb = np.asarray(ref["boxes"], np.float32).copy()
+    rb[..., [0, 2]] = ((rb[..., [0, 2]] - pad_x) / gain).clip(0, sw)
+    rb[..., [1, 3]] = ((rb[..., [1, 3]] - pad_y) / gain).clip(0, sh)
+
+    v_got, v_ref = np.asarray(got["valid"]), np.asarray(ref["valid"])
+    assert v_got.any()  # random-init at conf .25 must admit detections
+    assert np.array_equal(v_got, v_ref)
+    assert np.array_equal(
+        np.asarray(got["classes"])[v_got], np.asarray(ref["classes"])[v_ref]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["scores"])[v_got], np.asarray(ref["scores"])[v_ref],
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(got_boxes[v_got], rb[v_ref], atol=0.1)
