@@ -1,0 +1,131 @@
+"""Fused cascade kernel cost under class skew (steady-state shaped).
+
+The e2e bench's calibrated detections are class-skewed (one dominant class,
+like real traffic), where the class-parallel kernel's lockstep iterations
+track the DOMINANT class's Dijkstra — the association floor. This times the
+kernel alone on synthetic steady scenarios (n matched track/det pairs, all
+confirmed at cascade level 0, near-diagonal costs) at a given skew, N
+scenarios chained in one program (amortizes dispatch).
+
+    python benchmarks/micro/cascade_skew.py [--dets 30] [--skew 0.85]
+        [--classes 4] [--iters 128]
+"""
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from vehicle_counting_tpu.pipeline import enable_compilation_cache
+
+enable_compilation_cache()
+
+from vehicle_counting_tpu.ops.pallas.cascade import (
+    LVL_SENTINEL,
+    cascade_match_batched,
+    cascade_match_classparallel,
+    pallas_cascade_cp_supported,
+)
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--dets", type=int, default=30)
+ap.add_argument("--skew", type=float, default=0.85)
+ap.add_argument("--classes", type=int, default=4)
+ap.add_argument("--iters", type=int, default=128)
+ap.add_argument("--k", type=int, default=64)
+ap.add_argument("--kernel", default="cp", choices=["cp", "grid"])
+ap.add_argument(
+    "--unrolls", default=None,
+    help="comma list of CASCADE_DIJ_UNROLL values to sweep in-process "
+    "(aug unroll follows); default: just the module default",
+)
+args = ap.parse_args()
+
+C, K, N = args.classes, args.k, args.iters
+rng = np.random.default_rng(0)
+
+# per-class det counts: dominant class gets skew share, rest split evenly
+n_dom = int(round(args.dets * args.skew))
+rest = args.dets - n_dom
+counts = [n_dom] + [
+    rest // (C - 1) + (1 if i < rest % (C - 1) else 0) for i in range(C - 1)
+]
+print(f"per-class det counts: {counts}")
+
+
+def scenario(r):
+    gated = np.full((C, K, K), 1e5, np.float32)
+    iou = np.full((C, K, K), 1e5, np.float32)
+    lvl = np.full((C, K), LVL_SENTINEL, np.int32)
+    tent = np.zeros((C, K), np.int32)
+    dval = np.zeros((C, K), np.int32)
+    for c in range(C):
+        n = counts[c]
+        if n == 0:
+            continue
+        # steady: n confirmed level-0 tracks, n dets, near-diagonal costs
+        d = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :])
+        gated[c, :n, :n] = 0.02 + 0.01 * d + r.uniform(0, 0.004, (n, n))
+        iou[c, :n, :n] = r.uniform(0.1, 0.9, (n, n))
+        lvl[c, :n] = 0
+        dval[c, :n] = 1
+    rank = np.broadcast_to(np.arange(K, dtype=np.int32), (C, K)).copy()
+    return gated, iou, lvl, tent, rank, rank.copy(), dval, rank.copy()
+
+
+batch = [scenario(rng) for _ in range(N)]
+ops = [jnp.asarray(np.stack([s[i] for s in batch])) for i in range(8)]
+
+kern = cascade_match_classparallel if args.kernel == "cp" else cascade_match_batched
+if args.kernel == "cp" and not pallas_cascade_cp_supported():
+    raise SystemExit("class-parallel kernel unsupported on this backend")
+
+
+def measure():
+    @jax.jit
+    def prog(xs):
+        def body(acc, x):
+            det_free, det_key, out_row = kern(
+                *x, 0.2, 0.6, max_age=30
+            )
+            return acc + out_row.sum() + det_key.sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.int32(0), xs)
+        return acc
+
+    r = prog(tuple(ops))
+    np.asarray(r)
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            r = prog(tuple(ops))
+        np.asarray(r)
+        best = min(best, time.perf_counter() - t0)
+    return best / 4 / N * 1e6
+
+
+import vehicle_counting_tpu.ops.pallas.cascade as cascade_mod
+
+if args.unrolls:
+    for u in (int(x) for x in args.unrolls.split(",")):
+        cascade_mod._DIJ_UNROLL = u
+        cascade_mod._AUG_UNROLL = min(u, 2)
+        jax.clear_caches()  # the unroll factor is read at trace time
+        us = measure()
+        print(
+            f"kernel={args.kernel} dets={args.dets} skew={args.skew} C={C} "
+            f"dij_unroll={u}: {us:8.1f} us/frame",
+            flush=True,
+        )
+else:
+    us = measure()
+    print(
+        f"kernel={args.kernel} dets={args.dets} skew={args.skew} C={C}: "
+        f"{us:8.1f} us/frame"
+    )

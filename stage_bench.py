@@ -70,6 +70,11 @@ def main():
     ap.add_argument("--max_embed", type=int, default=64, help="ReID crops per CNN forward")
     ap.add_argument("--class_mode", default="batched", choices=["scan", "batched"])
     ap.add_argument("--num_classes", type=int, default=4)
+    ap.add_argument(
+        "--dominant_frac", type=float, default=0.0,
+        help="fraction of detections forced into class 0 (realistic traffic "
+        "is class-skewed; 0 keeps the uniform class draw)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -139,6 +144,9 @@ def main():
     classes_h = np.asarray(
         np.random.default_rng(1).integers(0, args.num_classes, size=(B, n_det)), np.int32
     )
+    if args.dominant_frac > 0:
+        dom = np.random.default_rng(9).random(size=(B, n_det)) < args.dominant_frac
+        classes_h = np.where(dom, 0, classes_h).astype(np.int32)
     scores_h = np.asarray(
         np.random.default_rng(2).uniform(0.3, 0.9, size=(B, n_det)), np.float32
     )
@@ -309,7 +317,7 @@ def main():
                 run, lambda: np.asarray(out[0][0, :1]), B, args.reps, args.chain
             )
 
-    if "tracker" in stages:
+    if stages & {"tracker", "tracker_churn", "tracker_steady"}:
         feats_h = np.random.default_rng(4).normal(size=(B, n_det, 512))
         feats_h /= np.linalg.norm(feats_h, axis=-1, keepdims=True)
         feats = jax.device_put(jnp.asarray(feats_h, jnp.float32))
@@ -326,6 +334,8 @@ def main():
             )
 
         for name, seeds in (("tracker_churn", (5, 6)), ("tracker_steady", None)):
+            if "tracker" not in stages and name not in stages:
+                continue
             states = init_states(hp)
             if seeds is None:
                 base = boxes_for(7)[0]  # one frame's boxes, drift slowly
