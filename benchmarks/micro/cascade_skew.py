@@ -44,6 +44,11 @@ ap.add_argument(
     help="comma list of CASCADE_DIJ_UNROLL values to sweep in-process "
     "(aug unroll follows); default: just the module default",
 )
+ap.add_argument(
+    "--variants", default=None,
+    help="comma list over {base, mm, tie, mm+tie}: sweep CASCADE_LOAD_MM / "
+    "CASCADE_FUSED_TIE in-process",
+)
 args = ap.parse_args()
 
 C, K, N = args.classes, args.k, args.iters
@@ -112,7 +117,18 @@ def measure():
 
 import vehicle_counting_tpu.ops.pallas.cascade as cascade_mod
 
-if args.unrolls:
+if args.variants:
+    for name in args.variants.split(","):
+        cascade_mod._LOAD_MM = "mm" in name
+        cascade_mod._FUSED_TIE = "tie" in name
+        jax.clear_caches()
+        us = measure()
+        print(
+            f"kernel={args.kernel} dets={args.dets} skew={args.skew} C={C} "
+            f"variant={name}: {us:8.1f} us/frame",
+            flush=True,
+        )
+elif args.unrolls:
     for u in (int(x) for x in args.unrolls.split(",")):
         cascade_mod._DIJ_UNROLL = u
         cascade_mod._AUG_UNROLL = min(u, 2)

@@ -43,12 +43,33 @@ scatters — point updates are masked whole-vector selects.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Unroll factors for the class-parallel kernel's two inner while loops.
+# Every update in a Dijkstra/augment step is masked by that class's active
+# predicate, so a finished class's extra steps are inert — running the body
+# in chunks of N is bitwise identical while paying the while-loop control
+# cost once per chunk. MEASURED NEGATIVE on v5e (skew 0.85 steady-shaped,
+# benchmarks/micro/cascade_skew.py): 93.5 / 112.6 / 139.6 us/frame at
+# unroll 1/2/4 — per-step VECTOR work (row load + pick reduces) dominates,
+# not loop control, so the wasted half-chunk of inert steps loses. Keep 1.
+_DIJ_UNROLL = max(1, int(os.environ.get("CASCADE_DIJ_UNROLL", "1")))
+_AUG_UNROLL = max(1, int(os.environ.get("CASCADE_AUG_UNROLL", "1")))
+# Row loads in the class-parallel Dijkstra: 0 = per-class dynamic VMEM
+# slices (one scalar extract + slice per class, serialized), 1 = one exact
+# one-hot HIGHEST matmul [C, C*K] @ [C*K, L] (the 3-pass bf16 split
+# reconstructs f32 exactly; one 1.0 per row). A/B'd on v5e.
+_LOAD_MM = os.environ.get("CASCADE_LOAD_MM", "0") == "1"
+# 1 = fuse the tie-break (kmin) and column-pick (j1) lane reduces into one
+# packed min reduce (key * lanes + lane; keys within tied lanes are small
+# ranks, proven < 2^15, so the pack fits i32 exactly)
+_FUSED_TIE = os.environ.get("CASCADE_FUSED_TIE", "0") == "1"
 
 _INF = 1e18
 # cascade-level sentinel for empty slots: must survive an exact f32
@@ -553,8 +574,20 @@ def _cascade_cp_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
     def pick_f32(vec, j):
         return jnp.sum(jnp.where(lane_CL == j, vec, 0.0), axis=1, keepdims=True)
 
-    def load_rows(i0):
+    iota_cck = jax.lax.broadcasted_iota(jnp.int32, (c, ck), 1)
+
+    def load_rows(i0, mat2d=None):
         """mat_ref[cls, i0[cls], :] per class: [C, 1] i32 -> [C, L] f32."""
+        if _LOAD_MM:
+            # one exact one-hot HIGHEST matmul instead of C serialized
+            # scalar extracts + dynamic slices: sel has one 1.0 per class
+            # row, so each output is 1.0 * mat row (3-pass bf16 split
+            # reconstructs arbitrary f32 exactly)
+            tgt = jnp.broadcast_to(
+                sub_C1 * k + jnp.clip(i0, 0, k - 1), (c, ck)
+            )
+            sel = (iota_cck == tgt).astype(jnp.float32)
+            return jax.lax.dot(sel, mat2d, precision=_HI)
         rows = []
         for cc in range(c):
             i0_c = jnp.sum(jnp.where(sub_C1 == cc, i0, 0))
@@ -590,6 +623,7 @@ def _cascade_cp_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
         mat_ref[...] = jnp.where(
             (flip != 0)[:, :, None], costT_ref[...], cost_ref[...]
         )
+        mat2d = mat_ref[...].reshape(ck, lanes) if _LOAD_MM else None
 
         prank_b = jnp.sum(
             jnp.where((rep(rows_l) != 0) & (rep(rkey_l) < rkey_b), 1, 0),
@@ -625,26 +659,29 @@ def _cascade_cp_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
             )
             p = jnp.where(act_row & (lane_CL == root), orig, p)
 
+            # the current Dijkstra row i0 == p[j0] is CARRIED (p is
+            # loop-invariant inside this while), so the cond is a cheap
+            # vector compare instead of a pick-reduce and the body saves
+            # one pick per step — values bitwise identical by induction.
             def dij_cond(st):
-                _, _, _, _, j0, _, _ = st
-                return jnp.any(act_row & (pick_i32(p, j0) != -1))
+                i0 = st[5]
+                return jnp.any(act_row & (i0 != -1))
 
-            def dij_body(st):
-                u_, v_, minv, way, j0, used_i, hit_i = st
-                act = act_row & (pick_i32(p, j0) != -1)         # [C, 1]
+            def dij_step(st):
+                u_, v_, minv, way, j0, i0, used_i, hit_i = st
+                act = act_row & (i0 != -1)                      # [C, 1]
                 used_i = jnp.where(
                     act,
                     jnp.maximum(used_i, (lane_CL == j0).astype(jnp.int32)),
                     used_i,
                 )
                 used = used_i != 0
-                i0 = pick_i32(p, j0)
                 hit_i = jnp.where(
                     act,
                     jnp.maximum(hit_i, (lane_CL == i0).astype(jnp.int32)),
                     hit_i,
                 )
-                cost_row = load_rows(i0)
+                cost_row = load_rows(i0, mat2d)
                 cur = cost_row - pick_f32(u_, i0) - v
                 better = (live_l != 0) & (~used) & (cur < minv) & act
                 minv = jnp.where(better, cur, minv)
@@ -652,13 +689,26 @@ def _cascade_cp_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
                 masked = jnp.where(used | (live_l == 0), _INF, minv)
                 delta = jnp.min(masked, axis=1, keepdims=True)  # [C, 1]
                 tied = masked == delta
-                kmin = jnp.min(
-                    jnp.where(tied, key_l, i32max), axis=1, keepdims=True
-                )
-                j1 = jnp.min(
-                    jnp.where(tied & (key_l == kmin), lane_CL, lanes),
-                    axis=1, keepdims=True,
-                ).astype(jnp.int32)
+                if _FUSED_TIE:
+                    # one packed reduce: min over tied of key*lanes + lane.
+                    # Every live key < pad_key = (2+max_age)*k (ranks or
+                    # base*k+rank with base <= 1+max_age), so the pack is
+                    # exact in i32 and the (kmin, then min lane among
+                    # key==kmin) lexicographic order is preserved.
+                    pad_key = (2 + max_age) * k
+                    packed = (
+                        jnp.where(tied, key_l, pad_key) * lanes + lane_CL
+                    )
+                    q = jnp.min(packed, axis=1, keepdims=True)
+                    j1 = (q - (q // lanes) * lanes).astype(jnp.int32)
+                else:
+                    kmin = jnp.min(
+                        jnp.where(tied, key_l, i32max), axis=1, keepdims=True
+                    )
+                    j1 = jnp.min(
+                        jnp.where(tied & (key_l == kmin), lane_CL, lanes),
+                        axis=1, keepdims=True,
+                    ).astype(jnp.int32)
                 u_ = jnp.where(
                     act, u_ + jnp.where(hit_i != 0, delta, 0.0), u_
                 )
@@ -667,17 +717,27 @@ def _cascade_cp_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
                     act & ~(used | (live_l == 0)), minv - delta, minv
                 )
                 j0 = jnp.where(act, j1, j0)
-                return u_, v_, minv, way, j0, used_i, hit_i
+                i0 = jnp.where(act, pick_i32(p, j1), i0)
+                return u_, v_, minv, way, j0, i0, used_i, hit_i
+
+            def dij_body(st):
+                # chunk of _DIJ_UNROLL masked steps: finished classes'
+                # steps are inert, so chunking only changes how often the
+                # while cond runs (the dominant per-iteration cost here)
+                for _ in range(_DIJ_UNROLL):
+                    st = dij_step(st)
+                return st
 
             st0 = (
                 u, v,
                 jnp.full((c, lanes), _INF, jnp.float32),
                 jnp.full((c, lanes), root, jnp.int32),
                 jnp.full((c, 1), root, jnp.int32),
+                jnp.where(act_row, orig, jnp.full((c, 1), -1, jnp.int32)),
                 jnp.zeros((c, lanes), jnp.int32),
                 jnp.zeros((c, lanes), jnp.int32),
             )
-            u, v, minv, way, j0, used, _ = jax.lax.while_loop(
+            u, v, minv, way, j0, _i0, used, _ = jax.lax.while_loop(
                 dij_cond, dij_body, st0
             )
 
@@ -685,13 +745,18 @@ def _cascade_cp_kernel_body(cost_c_ref, costT_c_ref, cost_i_ref, costT_i_ref,
                 j0_, _ = st
                 return jnp.any(act_row & (j0_ != root))
 
-            def aug_body(st):
+            def aug_step(st):
                 j0_, p_ = st
                 a = act_row & (j0_ != root)                     # [C, 1]
                 j1 = pick_i32(way, j0_)
                 p_ = jnp.where(a & (lane_CL == j0_), pick_i32(p_, j1), p_)
                 j0_ = jnp.where(a, j1, j0_)
                 return j0_, p_
+
+            def aug_body(st):
+                for _ in range(_AUG_UNROLL):
+                    st = aug_step(st)
+                return st
 
             j0 = jnp.where(act_row, j0, jnp.full((c, 1), root, jnp.int32))
             _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))

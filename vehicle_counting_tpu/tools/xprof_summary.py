@@ -44,12 +44,107 @@ def load_hlo_stats(xplane: str):
     return cols, rows
 
 
+_V5E_BF16_TFLOPS = 197.0  # MXU peak, one v5e chip
+_SHAPE_RE = re.compile(r"(bf16|f32|f16|s8|u8|s32)\[([\d,]*)\]")
+
+
+def _parse_conv_flops(expr: str):
+    """(flops_per_exec, lhs_shape, rhs_shape) from an HLO conv expression.
+
+    Expression shapes appear as `out = conv(lhs, rhs)`; XLA conv FLOPs =
+    2 * prod(out spatial+batch+out_ch) * (kernel spatial * in_ch). We parse
+    the first three typed shapes (out, lhs, rhs): rhs is the kernel
+    [kh, kw, ci, co] (HWIO) or a layout thereof; out gives positions.
+    """
+    shapes = _SHAPE_RE.findall(expr or "")
+    if len(shapes) < 3:
+        return None
+    dims = [
+        [int(x) for x in s.split(",") if x] for _, s in shapes[:3]
+    ]
+    out, _lhs, ker = dims
+    if len(ker) < 3 or not out:
+        return None
+    import numpy as _np
+
+    # conv FLOPs: every output element does prod(kernel dims except
+    # out-channels) MACs; out-channels is the kernel dim matching an out dim
+    ker_sorted = sorted(ker)
+    co = None
+    for d in ker:
+        if d in out:
+            co = d
+    if co is None:
+        co = ker_sorted[-1]
+    macs = float(_np.prod(out)) * float(_np.prod(ker)) / float(co)
+    return 2.0 * macs, dims[1], ker
+
+
+def print_conv_roofline(cols, rows, div, unit):
+    i_self = cols.index("Total self time (us)")
+    i_cat = cols.index("HLO op category")
+    i_occ = cols.index("#Occurrences")
+    i_expr = cols.index("HLO op text")
+    i_gf = cols.index("Model GFLOP/s") if "Model GFLOP/s" in cols else None
+    i_bound = cols.index("Bound by") if "Bound by" in cols else None
+    i_hbm = cols.index("HBM BW (GiB/s)") if "HBM BW (GiB/s)" in cols else None
+    print("\n== convolution roofline (v5e bf16 peak 197 TFLOP/s) ==")
+    total_t = 0.0
+    total_fl = 0.0
+    items = []
+    for row in rows:
+        if "convolution" not in str(row[i_cat]):
+            continue
+        t_us = row[i_self] or 0
+        occ = row[i_occ] or 1
+        parsed = _parse_conv_flops(str(row[i_expr] or ""))
+        if not parsed or t_us <= 0:
+            items.append((t_us, None, row))
+            continue
+        flops_exec, lhs, ker = parsed
+        tflops = flops_exec * occ / (t_us * 1e-6) / 1e12
+        total_t += t_us
+        total_fl += flops_exec * occ
+        items.append((t_us, (tflops, lhs, ker), row))
+    items.sort(key=lambda x: -x[0])
+    for t_us, info, row in items[:20]:
+        extra = ""
+        if i_gf is not None and row[i_gf]:
+            extra += f" xprof={row[i_gf] / 1000.0:6.1f}TF/s"
+        if i_hbm is not None and row[i_hbm]:
+            extra += f" hbm={row[i_hbm]:6.0f}GiB/s"
+        if i_bound is not None and row[i_bound]:
+            extra += f" bound={row[i_bound]}"
+        if info:
+            tflops, lhs, ker = info
+            pct = 100.0 * tflops / _V5E_BF16_TFLOPS
+            print(
+                f"  {t_us / div:9.1f} {unit}  {tflops:7.1f} TF/s ({pct:5.1f}%)"
+                f"  lhs={lhs} ker={ker}{extra}"
+            )
+        else:
+            print(
+                f"  {t_us / div:9.1f} {unit}  (unparsed){extra} "
+                f"{str(row[i_expr])[:70]}"
+            )
+    if total_t:
+        agg = total_fl / (total_t * 1e-6) / 1e12
+        print(
+            f"  ALL convs: {total_t / div:.1f} {unit}, {agg:.1f} TF/s "
+            f"({100.0 * agg / _V5E_BF16_TFLOPS:.1f}% of peak)"
+        )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("trace", help="trace dir (from jax.profiler.trace) or .xplane.pb")
     ap.add_argument("-n", "--top", type=int, default=25)
     ap.add_argument("--frames", type=int, default=None,
                     help="divide times by this frame count (prints us/frame)")
+    ap.add_argument("--convs", action="store_true",
+                    help="per-convolution roofline table: parse shapes from "
+                    "the HLO expression, print achieved TFLOP/s and %% of "
+                    "the v5e bf16 MXU peak per distinct conv shape")
     args = ap.parse_args(argv)
 
     xplane = find_xplane(args.trace)
@@ -83,6 +178,9 @@ def main(argv=None):
     for k, t in sorted(byline.items(), key=lambda kv: -kv[1])[:30]:
         if t / total > 0.003:
             print(f"  {t / div:10.1f} {unit}  {k}")
+
+    if args.convs:
+        print_conv_roofline(cols, rows, div, unit)
 
     print(f"\n== top {args.top} ops by self time ==")
     rows.sort(key=lambda r: -(r[i_self] or 0))
