@@ -64,12 +64,16 @@ _AUG_UNROLL = max(1, int(os.environ.get("CASCADE_AUG_UNROLL", "1")))
 # Row loads in the class-parallel Dijkstra: 0 = per-class dynamic VMEM
 # slices (one scalar extract + slice per class, serialized), 1 = one exact
 # one-hot HIGHEST matmul [C, C*K] @ [C*K, L] (the 3-pass bf16 split
-# reconstructs f32 exactly; one 1.0 per row). A/B'd on v5e.
+# reconstructs f32 exactly; one 1.0 per row). MEASURED NEGATIVE on v5e
+# (skew-0.85 steady stage: 0.368 vs 0.354 ms/frame; with fused tie
+# 0.330 vs 0.327) — the per-step [C*K, L] read + HIGHEST matmul costs more
+# than the C serialized slices. Kept as a flag for other shapes.
 _LOAD_MM = os.environ.get("CASCADE_LOAD_MM", "0") == "1"
-# 1 = fuse the tie-break (kmin) and column-pick (j1) lane reduces into one
-# packed min reduce (key * lanes + lane; keys within tied lanes are small
-# ranks, proven < 2^15, so the pack fits i32 exactly)
-_FUSED_TIE = os.environ.get("CASCADE_FUSED_TIE", "0") == "1"
+# Fuse the tie-break (kmin) and column-pick (j1) lane reduces into one
+# packed min reduce (key * lanes + lane; every live key < (2+max_age)*K by
+# construction, so the pack is exact in i32). MEASURED WIN on v5e: skewed
+# steady tracker stage 0.354 -> 0.327 ms/frame — default ON.
+_FUSED_TIE = os.environ.get("CASCADE_FUSED_TIE", "1") == "1"
 
 _INF = 1e18
 # cascade-level sentinel for empty slots: must survive an exact f32

@@ -576,13 +576,24 @@ def _tracker_core(st, pre, tlwh, conf, det_valid, hp, width, height, det_order):
     # ---- matched: KF update + lifecycle (track.py:129-148) ------------------
     matched = track_col >= 0
     gcol = jnp.where(matched, track_col, 0)
-    meas = det_xyah[gcol]
+    # det_xyah[gcol] / conf[gcol] as one-hot contractions: each row has
+    # exactly one nonzero term, so the HIGHEST matmul / masked reduce is
+    # exact, and the vmapped [K]-indexed gathers they replace cost ~2.4 us
+    # each per frame on v5e (profiled round 3)
+    n_det_ = det_xyah.shape[0]
+    oh_g = jnp.broadcast_to(gcol[:, None], (k, n_det_)) == jnp.arange(
+        n_det_, dtype=jnp.int32
+    )  # [K, D]
+    meas = jnp.matmul(
+        oh_g.astype(jnp.float32), det_xyah, precision=jax.lax.Precision.HIGHEST
+    )
     um, uc = kalman.update(mean, cov, meas)
     mean = jnp.where(matched[:, None], um, mean)
     cov = jnp.where(matched[:, None, None], uc, cov)
     hits = st.hits + matched.astype(jnp.int32)
     tsu = jnp.where(matched, 0, tsu)
-    last_conf = jnp.where(matched, conf[gcol], st.last_conf)
+    conf_at = jnp.sum(jnp.where(oh_g, conf[None, :], 0.0), axis=1)
+    last_conf = jnp.where(matched, conf_at, st.last_conf)
 
     state = st.state
     state = jnp.where((state == TENTATIVE) & (hits >= hp.n_init), CONFIRMED, state)
@@ -599,9 +610,16 @@ def _tracker_core(st, pre, tlwh, conf, det_valid, hp, width, height, det_order):
     order_key = jnp.where(unmatched_det, det_key, jnp.iinfo(jnp.int32).max)
     det_rank = jnp.sum(order_key[:, None] > order_key[None, :], axis=1)
     free = state == EMPTY
-    free_pos = jnp.cumsum(free.astype(jnp.int32)) - 1
-    num_free = jnp.sum(free.astype(jnp.int32))
     d_idx = jnp.arange(k, dtype=jnp.int32)
+    # inclusive prefix count as a [K, K] triangular masked reduce: jnp.cumsum
+    # at [64] lowers to a reduce-window that costs ~6 us/frame on v5e inside
+    # the frame scan (profiled round 3); the masked reduce is ~1 us and
+    # exact (i32 sums of 0/1)
+    tri = d_idx[None, :] <= d_idx[:, None]  # [K(i), K(j)]: j <= i
+    free_pos = (
+        jnp.sum(jnp.where(tri, free[None, :].astype(jnp.int32), 0), axis=1) - 1
+    )
+    num_free = jnp.sum(free.astype(jnp.int32))
     # slot_of_rank[r] = index of the r-th free slot; one-hot reduce instead
     # of a scatter (scatters lower to per-lane loops under the batched class
     # mode's vmap; a [K, K] masked reduce costs ~1 us either way)
@@ -613,7 +631,11 @@ def _tracker_core(st, pre, tlwh, conf, det_valid, hp, width, height, det_order):
     )
 
     place = unmatched_det & (det_rank < num_free)
-    target = jnp.where(place, slot_of_rank[jnp.clip(det_rank, 0, k - 1)], k)  # [D]->slot
+    # slot_of_rank[det_rank] as a one-hot masked reduce (the vmapped gather
+    # costs ~2.4 us/frame; the [K, K] reduce ~1 us, exact in i32)
+    oh_rank = jnp.clip(det_rank, 0, k - 1)[:, None] == d_idx[None, :]  # [D(K), K]
+    slot_at = jnp.sum(jnp.where(oh_rank, slot_of_rank[None, :], 0), axis=1)
+    target = jnp.where(place, slot_at, k)  # [D]->slot
 
     nm, ncv = kalman.initiate(det_xyah)  # [D, 8], [D, 8, 8]
     # slot initiation as one-hot selects/matmuls, not scatters. W[i, d] =
@@ -715,18 +737,27 @@ def tracker_feature_post(gallery, gallery_count, pending_count, flags, f_n, hp):
     f_n = f_n.astype(gallery.dtype)  # storage dtype (see TrackerParams.feat_dtype)
 
     # (1) matched tracks append at (gc + pc) % b; (3) initiated slots write
-    # their detection's feature at ring position 0 (counters reset below)
-    gfeat = jnp.take_along_axis(
-        f_n, jnp.clip(flags.gcol, 0, f_n.shape[-2] - 1)[..., None], axis=-2
-    )  # [..., K, F]
+    # their detection's feature at ring position 0 (counters reset below).
+    # The written feature per slot comes from ONE detection index (matched
+    # column xor initiating detection), so both take_along_axis gathers and
+    # the [..., K, F] select collapse into a single one-hot contraction —
+    # exact (one nonzero per row; HIGHEST reconstructs f32 storage exactly,
+    # bf16 storage is already rounded), and each vmapped gather it replaces
+    # cost ~2.2 us/frame on v5e (profiled round 3).
     has_new = flags.src < k
-    newf = jnp.take_along_axis(
-        f_n, jnp.clip(flags.src, 0, f_n.shape[-2] - 1)[..., None], axis=-2
-    )  # [..., K, F]
     write = flags.matched | has_new
+    d_cnt = f_n.shape[-2]
+    idx = jnp.clip(
+        jnp.where(has_new, flags.src, flags.gcol), 0, d_cnt - 1
+    )  # [..., K]
+    oh_w = (
+        idx[..., :, None] == jnp.arange(d_cnt, dtype=jnp.int32)
+    ).astype(f_n.dtype)  # [..., K, D]
+    feat_w = jnp.einsum(
+        "...kd,...df->...kf", oh_w, f_n, precision=jax.lax.Precision.HIGHEST
+    )  # [..., K, F]
     pos = jnp.where(has_new, 0, (gallery_count + pending_count) % b)
     pos = jnp.where(write, pos, b)  # b -> dropped
-    feat_w = jnp.where(has_new[..., None], newf, gfeat)  # [..., K, F]
     lead_shape = gallery.shape
     g2 = gallery.reshape((-1,) + gallery.shape[-2:])  # [R, B, F]
     rows = jnp.arange(g2.shape[0], dtype=jnp.int32)
