@@ -107,3 +107,62 @@ def test_pipeline_step_accepts_content_upload(rng):
     np.testing.assert_array_equal(np.asarray(det_a["boxes"]), np.asarray(det_b["boxes"]))
     np.testing.assert_array_equal(np.asarray(touts_a.mask), np.asarray(touts_b.mask))
     np.testing.assert_array_equal(np.asarray(touts_a.ids), np.asarray(touts_b.ids))
+
+
+def test_planar_u8_matches_interleaved(rng):
+    """yuv420_to_rgb_u8_planar == transpose(yuv420_to_rgb_u8) exactly."""
+    from vehicle_counting_tpu.ops.letterbox import (
+        yuv420_to_rgb_u8,
+        yuv420_to_rgb_u8_planar,
+    )
+
+    frames = rng.integers(0, 255, (2, 80, 160, 3), np.uint8)
+    yuv = host_letterbox_yuv420(frames, (96, 96))
+    a = np.asarray(yuv420_to_rgb_u8(jnp.asarray(yuv)))
+    b = np.asarray(yuv420_to_rgb_u8_planar(jnp.asarray(yuv)))
+    np.testing.assert_array_equal(a.transpose(0, 3, 1, 2), b)
+
+
+def test_pipeline_step_planar_pixels_identical(rng, monkeypatch):
+    """The VCT_PLANAR_PIXELS pixel path (planar u8 crop source, transposed
+    detector view, planar-aware embed) produces bit-identical detections and
+    track outputs to the interleaved default."""
+    import jax
+
+    import vehicle_counting_tpu.pipeline.step as step_mod
+    from vehicle_counting_tpu.models.reid import init_reid
+    from vehicle_counting_tpu.models.yolo import YoloConfig, init_yolov5
+    from vehicle_counting_tpu.tracking import DeepSortParams, TrackerParams, init_states
+
+    ycfg = YoloConfig(variant="yolov5n", num_classes=80)
+    yolo_params = init_yolov5(jax.random.PRNGKey(0), ycfg)
+    reid_params, reid_stats = init_reid(jax.random.PRNGKey(1))
+    hp = DeepSortParams(
+        tracker=TrackerParams(capacity=8, budget=4, max_age=4, n_init=2),
+        num_classes=2,
+    )
+    sh, sw = 80, 160
+    frames = rng.integers(0, 255, (2, sh, sw, 3), np.uint8)
+    lut = jnp.concatenate(
+        [jnp.arange(2, dtype=jnp.int32), jnp.full((78,), -1, jnp.int32)]
+    )
+    kw = dict(ycfg=ycfg, hp=hp, image_size=(96, 96), src_hw=(sh, sw), max_det=16,
+              conf_thres=0.0, frames_format="letterboxed_yuv420")
+    valid = jnp.ones((2,), bool)
+    yuv = jnp.asarray(host_letterbox_yuv420(frames, (96, 96)))
+
+    step = step_mod.pipeline_batch_step.__wrapped__  # unjitted: the flag is
+    s0 = init_states(hp)                             # read at trace time
+
+    monkeypatch.setattr(step_mod, "_PLANAR_PIXELS", False)
+    _, det_a, touts_a = step(
+        yolo_params, reid_params, reid_stats, s0, yuv, valid, lut, **kw)
+    monkeypatch.setattr(step_mod, "_PLANAR_PIXELS", True)
+    _, det_b, touts_b = step(
+        yolo_params, reid_params, reid_stats, s0, yuv, valid, lut, **kw)
+
+    for k in ("valid", "boxes", "scores", "classes"):
+        np.testing.assert_array_equal(np.asarray(det_a[k]), np.asarray(det_b[k]))
+    np.testing.assert_array_equal(np.asarray(touts_a.mask), np.asarray(touts_b.mask))
+    np.testing.assert_array_equal(np.asarray(touts_a.ids), np.asarray(touts_b.ids))
+    np.testing.assert_array_equal(np.asarray(touts_a.boxes), np.asarray(touts_b.boxes))

@@ -15,11 +15,19 @@ dispatch would cost more than the compute itself.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+# channel-planar pixel path (see the letterboxed_yuv420 branch below);
+# read at trace time so stage_bench can A/B it per process. Default ON:
+# bit-identical (tests/test_yuv420.py) and measured e2e 0.936 -> 0.924
+# ms/frame at B=128 on v5e (the [B, H, W, 3] interleave copies disappear;
+# the Pallas crop kernel consumes planar directly).
+_PLANAR_PIXELS = os.environ.get("VCT_PLANAR_PIXELS", "1") == "1"
 
 from vehicle_counting_tpu.models.detector import fused_detect_tail
 from vehicle_counting_tpu.models.yolo import YoloConfig, yolov5_forward
@@ -95,8 +103,24 @@ def pipeline_batch_step(
             # exact pixel path: video decode yields uint8 RGB, the detector
             # sees u8/255 (utilities/postprocess.py letterbox on uint8
             # frames). yuv420_to_rgb_u8 == yuv420_to_rgb + u8 cast exactly.
-            crop_source = yuv420_to_rgb_u8(frames)
-            imgs = (crop_source.astype(jnp.float32) / 255.0).astype(dtype)
+            if _PLANAR_PIXELS:
+                # channel-PLANAR u8 [B, 3, H, W]: same bytes, never
+                # interleaved — the Pallas crop kernel consumes planar
+                # directly and the [B, H, W, 3] stack's interleave copies
+                # (~20 us/frame at B=128, profiled) disappear; the detector
+                # sees a logical transpose the conv relayout absorbs
+                from vehicle_counting_tpu.ops.letterbox import (
+                    yuv420_to_rgb_u8_planar,
+                )
+
+                crop_source = yuv420_to_rgb_u8_planar(frames)
+                imgs = (
+                    jnp.transpose(crop_source, (0, 2, 3, 1)).astype(jnp.float32)
+                    / 255.0
+                ).astype(dtype)
+            else:
+                crop_source = yuv420_to_rgb_u8(frames)
+                imgs = (crop_source.astype(jnp.float32) / 255.0).astype(dtype)
         elif frames_format == "letterboxed_rgb":
             crop_source = frames
             imgs = (frames.astype(jnp.float32) / 255.0).astype(dtype)

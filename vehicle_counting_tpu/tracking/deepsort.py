@@ -258,6 +258,11 @@ def embed_detections_batch(
     ceil(total_valid / max_embed) rather than B * ceil(N / max_embed).
     """
     b, n = valid.shape
+    # frames may arrive channel-PLANAR [B, 3, H, W] (the pipeline's pixel
+    # path can skip the [B, H, W, 3] interleave entirely; the Pallas crop
+    # kernel wants planar anyway) or interleaved [B, H, W, 3]
+    planar = frames.shape[1] == 3 and frames.shape[-1] != 3
+    frame_w = frames.shape[-1] if planar else frames.shape[2]
     fb = _crop_transform(boxes.reshape(b * n, 4), crop_gain, crop_pad)
     fb = jnp.concatenate([fb, jnp.zeros((1, 4), fb.dtype)])
     fidx = jnp.concatenate(
@@ -266,7 +271,7 @@ def embed_detections_batch(
     fv = valid.reshape(b * n)
 
     mode = _crops_kernel_mode()
-    if mode == "compile" and frames.shape[2] % 128 != 0:
+    if mode == "compile" and frame_w % 128 != 0:
         # the kernel's HBM memref slices need a 128-lane-aligned frame
         # width (ops/pallas/crops.py); pipeline letterboxes (640) are
         mode = "off"
@@ -279,7 +284,9 @@ def embed_detections_batch(
             gather_crops_batch_pallas,
         )
 
-        frames_planar = jnp.transpose(frames, (0, 3, 1, 2))
+        frames_planar = (
+            frames if planar else jnp.transpose(frames, (0, 3, 1, 2))
+        )
 
         def gather_chunk(sel, v):
             return gather_crops_batch_pallas(
@@ -287,8 +294,12 @@ def embed_detections_batch(
                 interpret=mode == "interpret",
             )
     else:
+        frames_nhwc = (
+            jnp.transpose(frames, (0, 2, 3, 1)) if planar else frames
+        )
+
         def gather_chunk(sel, v):
-            return gather_crops_batch(frames, fidx[sel], fb[sel], v, dtype=dtype)
+            return gather_crops_batch(frames_nhwc, fidx[sel], fb[sel], v, dtype=dtype)
 
     def embed_chunk(crops):
         return reid_forward(reid_params, reid_stats, crops, train=False, reid=True, dtype=dtype)
