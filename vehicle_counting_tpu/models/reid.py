@@ -127,11 +127,78 @@ def _bn(x, p, s, train: bool, axes=(0, 1, 2)):
     return y, s
 
 
+def _conv3_even(x, w, stride, dtype):
+    """3x3 pad-1 conv with odd spatial dims zero-padded to EVEN first.
+
+    Exact: the pad-1 conv already reads zeros past the last row/col, so an
+    explicit zero row/col contributes the same zero terms (x + 0 == x in
+    any summation order), and the output is sliced back to the native
+    size (stride-2 output sizes are unchanged by the +1 pad). Measured on
+    v5e: the ReID stages' odd 25x25 / 13x13 activations tile ~11% faster
+    padded even ([3840, 25, 25, 64] 3x3: 45.7 -> 40.7 us/frame;
+    benchmarks/micro/reid_pad.py, bitwise-equal asserted on-chip).
+    """
+    b, h, wd, c = x.shape
+    ph, pw = h % 2, wd % 2
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    y = conv2d(x, w, stride=stride, dtype=dtype)
+    oh = (h + 2 - 3) // stride + 1
+    ow = (wd + 2 - 3) // stride + 1
+    return y[:, :oh, :ow, :]
+
+
+# None: auto (probe Mosaic on TPU); True: force (interpret mode off-TPU —
+# used by CPU parity tests); False: force the XLA conv path.
+FORCE_PALLAS_REID_BLOCK = None
+
+
+def _reid_block_mode() -> str:
+    """'off' | 'compile' | 'interpret' — trace-time dispatch decision for
+    the fused stage-1 BasicBlock kernel (ops/pallas/reid_block.py)."""
+    import os
+
+    env = os.environ.get("FORCE_PALLAS_REID_BLOCK")
+    if FORCE_PALLAS_REID_BLOCK is False or env == "0":
+        return "off"
+    if FORCE_PALLAS_REID_BLOCK is True:
+        return "interpret" if jax.default_backend() != "tpu" else "compile"
+    if jax.default_backend() == "tpu":
+        try:
+            from vehicle_counting_tpu.ops.pallas.reid_block import (
+                pallas_reid_block_supported,
+            )
+
+            if pallas_reid_block_supported():
+                return "compile"
+        except Exception:
+            pass
+    return "off"
+
+
+def _block_pallas(p, s, x, dtype, mode: str):
+    """Inference stage-1 block via the fused Pallas kernel (BN folded)."""
+    from vehicle_counting_tpu.ops.pallas.reid_block import reid_block64_pallas
+
+    def fold(bn_p, bn_s):
+        a = jax.lax.rsqrt(bn_s["var"] + BN_EPS) * bn_p["scale"]
+        return a, bn_p["bias"] - bn_s["mean"] * a
+
+    a1, b1 = fold(p["bn1"], s["bn1"])
+    a2, b2 = fold(p["bn2"], s["bn2"])
+    xk = x if dtype is None else x.astype(dtype)
+    return reid_block64_pallas(
+        xk, p["conv1"]["w"], p["conv2"]["w"], a1, b1, a2, b2,
+        use_bf16=dtype == jnp.bfloat16,
+        interpret=mode == "interpret",
+    ).astype(jnp.float32)
+
+
 def _basic_block(p, s, x, stride: int, train: bool, dtype=None):
-    y = conv2d(x, p["conv1"]["w"], stride=stride, dtype=dtype)
+    y = _conv3_even(x, p["conv1"]["w"], stride, dtype)
     y, s1 = _bn(y, p["bn1"], s["bn1"], train)
     y = jax.nn.relu(y)
-    y = conv2d(y, p["conv2"]["w"], dtype=dtype)
+    y = _conv3_even(y, p["conv2"]["w"], 1, dtype)
     y, s2 = _bn(y, p["bn2"], s["bn2"], train)
     if "down" in p:
         x = conv2d(x, p["down"]["w"], stride=stride, padding=0, dtype=dtype)
@@ -166,10 +233,30 @@ def reid_forward(
     y = jax.nn.relu(y)
     y = max_pool(y, 3, 2, 1)
 
+    blk_mode = _reid_block_mode() if not train else "off"
     for si, (cin, cout, ds) in enumerate(STAGES):
         for bi in range(2):
             name = f"layer{si + 1}_{bi}"
             stride = 2 if (ds and bi == 0) else 1
+            if (
+                blk_mode != "off"
+                and stride == 1
+                and "down" not in params[name]
+                and y.shape[1:] == (25, 25, 64)
+                and (dtype == jnp.bfloat16 or blk_mode == "interpret")
+            ):
+                # bf16 only on TPU: f32 patches [G*625, 576] blow the 16 MB
+                # scoped VMEM (measured OOM at G=8 f32), and f32 is the
+                # CPU-parity path where XLA stays authoritative anyway
+                # fused whole-block Pallas kernel (ops/pallas/reid_block.py):
+                # the stage-1 64-ch 25x25 convs are the embed CNN's measured
+                # outlier (~93 us/frame at 15% of peak through XLA — layout,
+                # not FLOPs); inference only, running BN stats pass through
+                y = _block_pallas(
+                    params[name], stats[name], y, dtype, blk_mode
+                )
+                new_stats[name] = stats[name]
+                continue
             y, new_stats[name] = _basic_block(
                 params[name], stats[name], y, stride, train, dtype=dtype
             )
