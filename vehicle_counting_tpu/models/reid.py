@@ -161,18 +161,14 @@ def _reid_block_mode() -> str:
     env = os.environ.get("FORCE_PALLAS_REID_BLOCK")
     if FORCE_PALLAS_REID_BLOCK is False or env == "0":
         return "off"
-    if FORCE_PALLAS_REID_BLOCK is True:
+    if FORCE_PALLAS_REID_BLOCK is True or env == "1":
         return "interpret" if jax.default_backend() != "tpu" else "compile"
-    if jax.default_backend() == "tpu":
-        try:
-            from vehicle_counting_tpu.ops.pallas.reid_block import (
-                pallas_reid_block_supported,
-            )
-
-            if pallas_reid_block_supported():
-                return "compile"
-        except Exception:
-            pass
+    # auto: OFF. The kernel direct-compiles on the axon TPU and is bitwise-
+    # verified, but the on-chip A/B is a WASH at the production config
+    # (bf16, chunk 64, B=128: embed_cnn 0.300 vs XLA's 0.299 ms/frame —
+    # the HBM round-trips it removes are offset by its in-VMEM patch-build
+    # VPU cost). Prefer the simpler XLA path when equal; the kernel stays
+    # behind this flag for future shapes/hardware.
     return "off"
 
 

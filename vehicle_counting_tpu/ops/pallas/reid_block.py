@@ -103,7 +103,9 @@ def _block_kernel(x_ref, w1_ref, w2_ref, ab_ref, out_ref, *, use_bf16: bool):
             slabs.append(sh * m)
         return jnp.concatenate(slabs, axis=1)  # [G*P, 9C]
 
-    xg = x_ref[...].reshape(gp, C).astype(cdt)
+    xg = x_ref[...].astype(cdt)  # [G*P, C] (crops merged in XLA — an
+    # in-kernel [G, 625, 64] -> [2500, 64] reshape is a Mosaic
+    # "unsupported shape cast": 625 is not sublane-aligned)
     h1 = jax.lax.dot(
         patches(xg), w1_ref[...].astype(cdt),
         preferred_element_type=jnp.float32,
@@ -121,7 +123,7 @@ def _block_kernel(x_ref, w1_ref, w2_ref, ab_ref, out_ref, *, use_bf16: bool):
         + jnp.broadcast_to(b2, (gp, C))
         + xg.astype(jnp.float32)
     )
-    out_ref[...] = jnp.maximum(y, 0.0).astype(out_ref.dtype).reshape(G, P, C)
+    out_ref[...] = jnp.maximum(y, 0.0).astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("use_bf16", "interpret"))
@@ -140,6 +142,9 @@ def reid_block64_pallas(
     xf = x.reshape(n, P, C)
     if pad:
         xf = jnp.concatenate([xf, jnp.zeros((pad, P, C), xf.dtype)], axis=0)
+    # crops merged on the sublane axis OUTSIDE the kernel (row-major merge,
+    # free in XLA; in-kernel it would be an unsupported Mosaic shape cast)
+    xf = xf.reshape((n + pad) * P, C)
     w1p = w1.reshape(9 * C, C)
     w2p = w2.reshape(9 * C, C)
     ab = jnp.stack(
@@ -150,18 +155,18 @@ def reid_block64_pallas(
         partial(_block_kernel, use_bf16=use_bf16),
         grid=((n + pad) // G,),
         in_specs=[
-            pl.BlockSpec((G, P, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * P, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, C), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (G, P, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (G * P, C), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n + pad, P, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(((n + pad) * P, C), x.dtype),
         interpret=interpret,
     )(xf, w1p, w2p, ab)
-    return out[:n].reshape(n, S, S, C)
+    return out[: n * P].reshape(n, S, S, C)
 
 
 _SUPPORTED = None
@@ -186,7 +191,10 @@ def pallas_reid_block_supported() -> bool:
             o = jnp.ones((C,), jnp.float32)
             z = jnp.zeros((C,), jnp.float32)
             r = reid_block64_pallas(x, w, w, o, z, o, z)
-            jax.block_until_ready(r)
+            # data READBACK, not block_until_ready: on networked backends
+            # (axon) only readback synchronizes, so a compile failure would
+            # otherwise surface after the probe returned True
+            np.asarray(r)
             _SUPPORTED = True
         except Exception:
             _SUPPORTED = False
