@@ -130,7 +130,19 @@ def _slot_by_class(boxes, scores, classes, valid, num_classes: int, k: int):
     cls_m = valid[None, :] & (
         classes[None, :] == jnp.arange(num_classes, dtype=classes.dtype)[:, None]
     )  # [C, D]
-    rank = jnp.cumsum(cls_m.astype(jnp.int32), axis=1) - 1  # [C, D]
+    # inclusive prefix count as a [C,D]@[D,D] triangular MXU matmul:
+    # jnp.cumsum at these shapes lowers to a reduce-window costing ~6
+    # us/frame inside the frame scan, and a [C, D, D] masked reduce costs
+    # ~9 (both profiled round 3). Exact: 0/1 factors, counts <= D, f32
+    # HIGHEST (bf16 split would also be exact at these magnitudes, but
+    # HIGHEST is the house rule for exactness-bearing matmuls).
+    tri = (d_idx[:, None] <= d_idx[None, :]).astype(jnp.float32)  # [j, d]
+    rank = (
+        jnp.matmul(
+            cls_m.astype(jnp.float32), tri, precision=jax.lax.Precision.HIGHEST
+        ).astype(jnp.int32)
+        - 1
+    )  # [C, D]
     slot = jax.lax.broadcasted_iota(jnp.int32, (num_classes, k, d), 1)
     M = cls_m[:, None, :] & (rank[:, None, :] == slot)  # [C, K, D]
     Mf = M.astype(jnp.float32)

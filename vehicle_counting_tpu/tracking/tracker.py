@@ -254,8 +254,16 @@ def _match_stage(cost, rows, det_free, track_col, threshold, row_order, det_key,
             accept[None, :] & (slot_col[None, :] == a[:, None]), axis=1
         )  # [K(j)]
         # demote rejected detections in submatrix row order (= scipy's
-        # ascending row_ind, the order min_cost_matching appends them)
-        rank = jnp.cumsum(reject.astype(jnp.int32)) - 1
+        # ascending row_ind, the order min_cost_matching appends them);
+        # inclusive prefix count as a [K, K] triangular masked reduce
+        # (cumsum lowers to a ~6 us reduce-window on v5e; exact i32 0/1)
+        tri_r = a[None, :] <= a[:, None]  # [K(i), K(j)]: j <= i
+        rank = (
+            jnp.sum(
+                jnp.where(tri_r, reject[None, :].astype(jnp.int32), 0), axis=1
+            )
+            - 1
+        )
         onehot_j = reject[None, :] & (slot_col[None, :] == a[:, None])  # [K(j), K(a)]
         det_key_ = jnp.where(
             jnp.any(onehot_j, axis=1),
