@@ -165,10 +165,13 @@ def _reid_block_mode() -> str:
         return "interpret" if jax.default_backend() != "tpu" else "compile"
     # auto: OFF. The kernel direct-compiles on the axon TPU and is bitwise-
     # verified, but the on-chip A/B is a WASH at the production config
-    # (bf16, chunk 64, B=128: embed_cnn 0.300 vs XLA's 0.299 ms/frame —
-    # the HBM round-trips it removes are offset by its in-VMEM patch-build
-    # VPU cost). Prefer the simpler XLA path when equal; the kernel stays
-    # behind this flag for future shapes/hardware.
+    # (bf16, chunk 64, B=128) across BOTH kernel generations: 0.300 vs
+    # XLA's 0.299 ms/frame for the per-tap-mask patch build, and 0.301 vs
+    # 0.301 for the gap-padded build that halves the patch VPU work — the
+    # stage-1 blocks are at the c_out=64 MXU stream's practical ceiling
+    # (~57 TF/s effective), which XLA's lowering already reaches. Prefer
+    # the simpler XLA path when equal; the kernel stays behind this flag
+    # for future shapes/hardware.
     return "off"
 
 
