@@ -159,8 +159,22 @@ def sort_nms_mask(tlwh: jax.Array, scores: jax.Array, valid: jax.Array, max_over
     # invert rank -> order with a one-hot reduce, not a scatter (scatters
     # lower to per-lane loops under the per-class vmap on TPU)
     order = jnp.sum(jnp.where(rank[None, :] == idx[:, None], idx[None, :], 0), axis=1)
-    overlap = sort_overlap_matrix(tlwh[order])  # [N,N] (i suppresses j): entry [i,j]
-    keep_sorted = greedy_suppress(overlap, valid[order], max_overlap)
-    # unpermute: element i sits at processing position rank[i] — a gather,
-    # which (unlike a scatter) stays cheap under the per-class vmap on TPU
-    return keep_sorted[rank] & valid
+    # permute rows with one permutation MATMUL, not gathers: the three
+    # vmapped gathers here (tlwh[order], valid[order], keep_sorted[rank])
+    # measured ~5.6 us/frame combined under the per-class vmap (xprof,
+    # round 3); the [N, N] @ [N, 5] / [1, N] @ [N, N] forms are ~1 us and
+    # EXACT — each row-sum has exactly one nonzero term, f32 HIGHEST
+    p = (order[:, None] == idx[None, :]).astype(jnp.float32)  # [N(pos), N(i)]
+    hi = jax.lax.Precision.HIGHEST
+    tv = jnp.concatenate(
+        [tlwh.astype(jnp.float32), valid.astype(jnp.float32)[:, None]], axis=1
+    )  # [N, 5]
+    tvp = jnp.matmul(p, tv, precision=hi)
+    overlap = sort_overlap_matrix(tvp[:, :4])  # [N,N] (i suppresses j)
+    keep_sorted = greedy_suppress(overlap, tvp[:, 4] > 0.5, max_overlap)
+    # unpermute: element i sits at processing position rank[i], i.e. p^T y
+    keep = (
+        jnp.matmul(keep_sorted.astype(jnp.float32)[None, :], p, precision=hi)[0]
+        > 0.5
+    )
+    return keep & valid
