@@ -48,18 +48,29 @@ def main():
     # BENCH_MODE selects the BASELINE config being measured; the default
     # metric (driver-recorded) stays YOLOv5s-640. BENCH_MODE=yolov5m_1024
     # reproduces BASELINE config 3 (yolov5m @ 1024, README.md:53) on demand.
+    # det_hw is the AutoShape-actual network input for the source geometry
+    # (stride-aligned minimal pad, ops/letterbox.autoshape_hw — what the
+    # reference's network really sees: 720p@640 -> 384x640, 1080p@1024 ->
+    # 576x1024), the pipeline's default since round 4. Content-row upload
+    # bytes/frame are IDENTICAL to the r03 square-pad numbers (the content
+    # rows don't change, only the gray padding), so streamed windows remain
+    # comparable across rounds.
     mode = os.environ.get("BENCH_MODE", "yolov5s_640")
     if mode == "yolov5m_1024":
-        variant, det_hw, src_hw_default, b_default = "yolov5m", (1024, 1024), (1080, 1920), 16
+        variant, size, src_hw_default, b_default = "yolov5m", 1024, (1080, 1920), 16
         metric = "e2e_detect_track_fps_per_chip_yolov5m1024"
     elif mode == "yolov5s_640":
         # 128 is the measured v5e throughput knee (890 fps/chip device-
         # resident vs 703 at B=32; B=256 regresses) — convs tile better and
         # the batch-global embed/compaction fixed costs amortize
-        variant, det_hw, src_hw_default, b_default = "yolov5s", (640, 640), (720, 1280), 128
+        variant, size, src_hw_default, b_default = "yolov5s", 640, (720, 1280), 128
         metric = "e2e_detect_track_fps_per_chip_yolov5s640"
     else:
         raise SystemExit(f"unknown BENCH_MODE: {mode}")
+
+    from vehicle_counting_tpu.ops.letterbox import autoshape_hw
+
+    det_hw = autoshape_hw(src_hw_default, size)
 
     B = int(os.environ.get("BENCH_BATCH", str(b_default)))
     H, W = src_hw_default
@@ -258,6 +269,11 @@ def main():
         return xs[min(len(xs) - 1, int(q * (len(xs) - 1) + 0.5))]
 
     def mbps(dt):
+        # serialized-transfer estimate: assumes uploads never overlap compute
+        # (transfer time = window - compute). Windows with partial overlap
+        # OVERSTATE the tunnel rate, so read tunnel_mbps_* as an upper bound
+        # on how transfer-bound the window was, not a measured link rate.
+        # Telemetry only — the recorded metric line is unaffected.
         xfer = max(dt - N_BATCHES * compute_s_per_batch, 1e-9)
         return frames_w * bytes_per_frame / xfer / 1e6
 

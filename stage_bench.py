@@ -103,7 +103,11 @@ def main():
     )
 
     B, H, W = args.batch, 720, 1280
-    det_hw = (640, 640)
+    # AutoShape-actual network input (stride-aligned minimal pad): 384x640
+    # for 720p@640 — the pipeline's default geometry since round 4
+    from vehicle_counting_tpu.ops.letterbox import autoshape_hw
+
+    det_hw = autoshape_hw((H, W), 640)
     ycfg = YoloConfig(variant="yolov5s", num_classes=80)
     yolo_params = jax.device_put(init_yolov5(jax.random.PRNGKey(0), ycfg))
     reid_params, reid_stats = init_reid(jax.random.PRNGKey(1))

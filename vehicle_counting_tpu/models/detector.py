@@ -22,7 +22,7 @@ from vehicle_counting_tpu.models.yolo import (
     init_yolov5,
     yolov5_forward,
 )
-from vehicle_counting_tpu.ops.letterbox import letterbox, restore_boxes
+from vehicle_counting_tpu.ops.letterbox import autoshape_hw, letterbox, restore_boxes
 from vehicle_counting_tpu.ops.nms import nms_selected
 
 # COCO -> vehicle-class mapping the reference CLI defines (run.py:38-46):
@@ -269,6 +269,10 @@ class Detector:
         variant = config.model_name or "yolov5s"
         image_size = config.image_size or [640, 640]
         self.image_size = (int(image_size[0]), int(image_size[1]))
+        # AutoShape's stride-aligned minimal pad is what the reference's
+        # network actually sees (networks/yolo.py:70); square_letterbox pins
+        # the full-square pad for callers that want the nominal contract
+        self.square_letterbox = bool(getattr(config, "square_letterbox", None))
         self.conf_thres = float(config.min_conf or 0.25)
         self.iou_thres = float(config.min_iou or 0.45)
         self.max_det = int(config.max_det) if (config.max_det or 0) > 0 else 300
@@ -296,6 +300,12 @@ class Detector:
         else:
             self._map_lut = None
 
+    def net_hw(self, src_hw: Tuple[int, int]) -> Tuple[int, int]:
+        """Static network input shape for a source shape (AutoShape rule)."""
+        if self.square_letterbox:
+            return self.image_size
+        return autoshape_hw(src_hw, self.image_size)
+
     def detect_batch(self, frames: np.ndarray) -> Dict[str, np.ndarray]:
         """frames [B, H, W, 3] uint8 RGB -> fixed-shape numpy detections."""
         b, h, w, _ = frames.shape
@@ -303,7 +313,7 @@ class Detector:
             self.params,
             jnp.asarray(frames),
             cfg=self.cfg,
-            image_size=self.image_size,
+            image_size=self.net_hw((h, w)),
             src_hw=(h, w),
             conf_thres=self.conf_thres,
             iou_thres=self.iou_thres,

@@ -148,8 +148,11 @@ def _conv3_even(x, w, stride, dtype):
     return y[:, :oh, :ow, :]
 
 
-# None: auto (probe Mosaic on TPU); True: force (interpret mode off-TPU —
-# used by CPU parity tests); False: force the XLA conv path.
+# None: auto = OFF — the fused stage-1 block kernel measured a WASH vs
+# XLA's lowering at the production config (ROADMAP r3; both generations,
+# 0.300-0.301 ms/frame embed_cnn either way), so auto never probes it.
+# True / env FORCE_PALLAS_REID_BLOCK=1: force the kernel (interpret mode
+# off-TPU — used by CPU parity tests); False / =0: force the XLA conv path.
 FORCE_PALLAS_REID_BLOCK = None
 
 

@@ -10,12 +10,42 @@ one compiled op; the inverse maps detector boxes back to source pixels.
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 PAD_VALUE = 114.0  # ultralytics letterbox fill gray
+
+
+def autoshape_hw(
+    src_hw: Tuple[int, int], size, stride: int = 32
+) -> Tuple[int, int]:
+    """Network input (h, w) the reference's AutoShape actually infers at.
+
+    The reference runs inference through ultralytics AutoShape with NO size
+    argument (/root/reference/networks/yolo.py:70 — `self.model(inputs)`),
+    so the network never sees the config's square image_size: AutoShape
+    ratio-scales each source dim by size / max(src) and rounds each UP to
+    the next stride-`stride` multiple (720x1280 @ 640 -> 384x640, padding
+    only 24 gray rows — not the 280 a full 640x640 square would add). The
+    config's image_size feeds only a constructed-but-never-applied
+    albumentations pipeline (/root/reference/modules/datasets.py:19-22).
+
+    Replicates AutoShape.forward's float math exactly: g = size / max(s)
+    (float64), per-dim make_divisible(x) = ceil(x / stride) * stride.
+    `size` may be a scalar or the config's [h, w] pair (max is used, which
+    is what reaching AutoShape's single `size` int would do).
+    """
+    sh, sw = src_hw
+    if not isinstance(size, (int, float)):
+        size = max(size)
+    g = float(size) / float(max(sh, sw))
+    return (
+        int(math.ceil(sh * g / stride) * stride),
+        int(math.ceil(sw * g / stride) * stride),
+    )
 
 
 def letterbox_params(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]):

@@ -43,6 +43,37 @@ def enable_compilation_cache(path: str = "~/.cache/vct_jax_cache") -> None:
         pass  # older jax without these flags
 
 
+def prefetch(fetch, prep):
+    """Overlap host work with device compute: one-batch-ahead prefetch.
+
+    Runs `prep(fetch())` for the NEXT batch in a worker thread while the
+    caller consumes the current one, so decode + letterbox + host->device
+    upload overlap the device dispatch/readback (the reference's per-frame
+    loop serializes all of these, modules/__init__.py:54). `fetch` returns
+    the next raw batch or None at end-of-stream; `prep` maps it to what the
+    caller consumes (typically device-put arrays). Shared by run_video and
+    run_video_detect_only.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+
+    def produce():
+        batch = fetch()
+        return None if batch is None else prep(batch)
+
+    try:
+        fut = pool.submit(produce)
+        while True:
+            got = fut.result()
+            if got is None:
+                return
+            fut = pool.submit(produce)
+            yield got
+    finally:
+        pool.shutdown()
+
+
 class CountingPipeline:
     """Mirror of the reference CountingPipeline surface (modules/__init__.py:7-101)."""
 
@@ -112,6 +143,11 @@ class CountingPipeline:
         # ---- shapes / thresholds ------------------------------------------
         image_size = self.config.image_size or [640, 640]
         self.image_size = (int(image_size[0]), int(image_size[1]))
+        # default: AutoShape's stride-aligned minimal pad — what the
+        # reference's network actually sees (networks/yolo.py:70 calls
+        # AutoShape with no size; 720p -> 384x640, not the 640 square).
+        # square_letterbox: true in configs.yaml restores the square pad.
+        self.square_letterbox = bool(getattr(self.config, "square_letterbox", None))
         self.conf_thres = float(self.config.min_conf or 0.25)
         self.iou_thres = float(self.config.min_iou or 0.45)
         self.max_det = int(self.config.max_det) if (self.config.max_det or 0) > 0 else 300
@@ -146,6 +182,14 @@ class CountingPipeline:
     @staticmethod
     def get_cam_name(path: str) -> str:
         return os.path.basename(path)[:-4]  # modules/__init__.py:23-26
+
+    def net_hw(self, src_hw):
+        """Static detector input shape for a video's source shape."""
+        from vehicle_counting_tpu.ops.letterbox import autoshape_hw
+
+        if self.square_letterbox:
+            return self.image_size
+        return autoshape_hw(src_hw, self.image_size)
 
     def _cam_params(self, cam_name: str):
         cams = self.cam_config.cam or {}
@@ -205,8 +249,6 @@ class CountingPipeline:
         thin = self.config.thin_upload
         thin = True if thin is None else bool(thin)
 
-        from concurrent.futures import ThreadPoolExecutor
-
         from vehicle_counting_tpu.ops.letterbox import (
             content_upload_exact,
             host_letterbox_yuv420,
@@ -215,23 +257,26 @@ class CountingPipeline:
 
         # ship only the letterbox content rows when that's bit-exact (~1.8x
         # less transfer at 720p->640; the device re-inserts the gray padding)
+        net_hw = self.net_hw((info["height"], info["width"]))
         content_only = thin and content_upload_exact(
-            (info["height"], info["width"]), self.image_size
+            (info["height"], info["width"]), net_hw
         )
 
-        def produce(it):
-            """Decode + letterbox + upload the next batch (runs in the worker
-            thread so the whole host side overlaps device compute; its stage
-            times overlap the main thread's dispatch/readback stages)."""
+        it = reader.batches()
+
+        def fetch():
             with timer.stage("decode"):
-                batch = next(it, None)
-            if batch is None:
-                return None
+                return next(it, None)
+
+        def prep(batch):
+            """Letterbox + upload (runs in the prefetch worker thread so the
+            whole host side overlaps device compute; its stage times overlap
+            the main thread's dispatch/readback stages)."""
             frames, frame_ids, valid = batch
             if thin:
                 with timer.stage("letterbox"):
                     frames = host_letterbox_yuv420(
-                        frames, self.image_size, content_only=content_only
+                        frames, net_hw, content_only=content_only
                     )
             with timer.stage("upload"):
                 fdev = parallel_device_put(frames)
@@ -266,35 +311,24 @@ class CountingPipeline:
         profile_ctx = (
             trace(self.profile_dir) if self.profile_dir else contextlib.nullcontext()
         )
-        pool = ThreadPoolExecutor(max_workers=1)
-        it = reader.batches()
         pending = None
-        try:
-            with profile_ctx:
-                fut = pool.submit(produce, it)
-                while True:
-                    produced = fut.result()
-                    if produced is None:
-                        break
-                    fdev, frame_ids, valid = produced
-                    fut = pool.submit(produce, it)
-                    with timer.stage("dispatch"):
-                        states, det, touts = step_mod.pipeline_batch_step(
-                            self.yolo_params, self.reid_params, self.reid_stats, states,
-                            fdev, jnp.asarray(valid), self.class_lut,
-                            ycfg=self.ycfg, hp=hp,
-                            image_size=self.image_size, src_hw=(info["height"], info["width"]),
-                            conf_thres=self.conf_thres, iou_thres=self.iou_thres,
-                            max_det=self.max_det, dtype=self.dtype,
-                            frames_format="letterboxed_yuv420" if thin else "raw_rgb",
-                        )
-                    if pending is not None:
-                        drain(pending)
-                    pending = (touts, frame_ids, valid)
+        with profile_ctx:
+            for fdev, frame_ids, valid in prefetch(fetch, prep):
+                with timer.stage("dispatch"):
+                    states, det, touts = step_mod.pipeline_batch_step(
+                        self.yolo_params, self.reid_params, self.reid_stats, states,
+                        fdev, jnp.asarray(valid), self.class_lut,
+                        ycfg=self.ycfg, hp=hp,
+                        image_size=net_hw, src_hw=(info["height"], info["width"]),
+                        conf_thres=self.conf_thres, iou_thres=self.iou_thres,
+                        max_det=self.max_det, dtype=self.dtype,
+                        frames_format="letterboxed_yuv420" if thin else "raw_rgb",
+                    )
                 if pending is not None:
                     drain(pending)
-        finally:
-            pool.shutdown()
+                pending = (touts, frame_ids, valid)
+            if pending is not None:
+                drain(pending)
         if self.profile_dir:
             print(f"[profile] jax trace written to {self.profile_dir}")
 
@@ -331,55 +365,53 @@ class CountingPipeline:
         """Detection-only pass (BASELINE config 1): per-frame detections CSV.
 
         Columns: frame_id, x1, y1, x2, y2, score, label — one row per
-        detection in source pixels.
+        detection in source pixels. Same overlap structure as run_video
+        (prefetch worker letterboxes + uploads one batch ahead, readback
+        lags one batch) and the same thin-upload I420 pixel path, so the
+        measured fps is the detector's, not a serialization artifact.
         """
         import time
 
-        import jax
         import jax.numpy as jnp
         import pandas as pd
 
-        from vehicle_counting_tpu.models.detector import detect_step
+        from vehicle_counting_tpu.pipeline.step import detect_only_step
         from vehicle_counting_tpu.ops.letterbox import (
             content_upload_exact,
             host_letterbox_yuv420,
-            yuv420_content_to_full,
-            yuv420_to_rgb_u8,
         )
+        from vehicle_counting_tpu.utils.transfer import parallel_device_put
 
         cam_name = self.get_cam_name(video_path)
         reader = VideoReader(video_path, batch_size=self.batch_size)
         info = reader.video_info
         src_hw = (info["height"], info["width"])
-        content_only = content_upload_exact(src_hw, self.image_size)
+        net_hw = self.net_hw(src_hw)
+        content_only = content_upload_exact(src_hw, net_hw)
         rows = {k: [] for k in ("frame_id", "x1", "y1", "x2", "y2", "score", "label")}
         lut = np.asarray(self.class_lut)
         num_frames = 0
         t0 = time.perf_counter()
-        from functools import partial
 
-        @partial(jax.jit, static_argnames=())
-        def to_rgb(yuv_dev):
-            if content_only:
-                yuv_dev = yuv420_content_to_full(yuv_dev, src_hw, self.image_size)
-            return yuv420_to_rgb_u8(yuv_dev)
+        it = reader.batches()
 
-        for frames, frame_ids, valid in reader.batches():
-            yuv = host_letterbox_yuv420(frames, self.image_size, content_only=content_only)
-            imgs = to_rgb(jax.device_put(jnp.asarray(yuv)))
-            out = detect_step(
-                self.yolo_params, imgs,
-                cfg=self.ycfg, image_size=self.image_size,
-                src_hw=(info["height"], info["width"]),
-                conf_thres=self.conf_thres, iou_thres=self.iou_thres,
-                max_det=self.max_det, dtype=self.dtype,
-            )
+        def fetch():
+            return next(it, None)
+
+        def prep(batch):
+            frames, frame_ids, valid = batch
+            yuv = host_letterbox_yuv420(frames, net_hw, content_only=content_only)
+            return parallel_device_put(yuv), frame_ids, valid
+
+        def drain(pending_):
+            nonlocal num_frames
+            out, frame_ids, valid = pending_
             boxes = np.asarray(out["boxes"])
             scores = np.asarray(out["scores"])
             classes = np.asarray(out["classes"])
             ok = np.asarray(out["valid"])
             num_frames += int(valid.sum())
-            for b in range(len(frames)):
+            for b in range(len(valid)):
                 if not valid[b]:
                     continue
                 for i in np.where(ok[b])[0]:
@@ -393,6 +425,22 @@ class CountingPipeline:
                     rows["y2"].append(float(boxes[b, i, 3]))
                     rows["score"].append(float(scores[b, i]))
                     rows["label"].append(int(mapped))
+
+        pending = None
+        for ydev, frame_ids, valid in prefetch(fetch, prep):
+            out = detect_only_step(
+                self.yolo_params, ydev,
+                ycfg=self.ycfg, image_size=net_hw, src_hw=src_hw,
+                conf_thres=self.conf_thres, iou_thres=self.iou_thres,
+                max_det=self.max_det, dtype=self.dtype,
+                content_only=content_only,
+            )
+            if pending is not None:
+                drain(pending)
+            pending = (out, frame_ids, valid)
+        if pending is not None:
+            drain(pending)
+
         elapsed = time.perf_counter() - t0
         csv_path = os.path.join(self.saved_path, cam_name + "_detections.csv")
         pd.DataFrame(rows).to_csv(csv_path, index=False)

@@ -87,10 +87,11 @@ class MultiCamCountingPipeline:
         # letterbox to content-row I420 when bit-exact for this geometry
         thin = base.config.thin_upload
         thin = True if thin is None else bool(thin)
-        content_only = thin and content_upload_exact((h, w), base.image_size)
+        net_hw = base.net_hw((h, w))
+        content_only = thin and content_upload_exact((h, w), net_hw)
         if thin:
-            dh, dw = base.image_size
-            ch = content_rows((h, w), base.image_size)[1] if content_only else dh
+            dh, dw = net_hw
+            ch = content_rows((h, w), net_hw)[1] if content_only else dh
             frame_shape = (total, b, ch * 3 // 2, dw)
             frames_format = "letterboxed_yuv420"
         else:
@@ -109,7 +110,7 @@ class MultiCamCountingPipeline:
                     f, fid, v = next(it)
                     if thin:
                         f = host_letterbox_yuv420(
-                            f, base.image_size, content_only=content_only
+                            f, net_hw, content_only=content_only
                         )
                     frames[i], ids[i], valid[i] = f, fid, v
                 except StopIteration:
@@ -145,7 +146,7 @@ class MultiCamCountingPipeline:
                 states, touts = multicam_batch_step(
                     mesh, base.yolo_params, base.reid_params, base.reid_stats,
                     states, fdev, jnp.asarray(valid), base.class_lut,
-                    ycfg=base.ycfg, hp=hp, image_size=base.image_size, src_hw=(h, w),
+                    ycfg=base.ycfg, hp=hp, image_size=net_hw, src_hw=(h, w),
                     conf_thres=base.conf_thres, iou_thres=base.iou_thres,
                     max_det=base.max_det, dtype=base.dtype,
                     frames_format=frames_format,

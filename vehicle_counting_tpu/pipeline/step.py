@@ -43,6 +43,52 @@ from vehicle_counting_tpu.tracking.tracker import TrackerOutputs
 @partial(
     jax.jit,
     static_argnames=(
+        "ycfg", "image_size", "src_hw", "max_det", "dtype", "content_only",
+    ),
+)
+def detect_only_step(
+    yolo_params,
+    yuv: jax.Array,  # [B, H*3/2, W] host-letterboxed I420 (content rows or full)
+    *,
+    ycfg: YoloConfig,
+    image_size: Tuple[int, int],
+    src_hw: Tuple[int, int],
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    dtype=jnp.bfloat16,
+    content_only: bool = False,
+):
+    """Detection-only device step on the thin-upload I420 pixel path.
+
+    Identical pixel path to pipeline_batch_step's letterboxed_yuv420 branch
+    (I420 -> u8 RGB -> /255 -> YOLOv5 -> fused tail -> source-pixel
+    restore), minus ReID/tracking — BASELINE config 1 (reference
+    ImageDetect.run, modules/detect.py:30-60).
+    """
+    from vehicle_counting_tpu.ops.letterbox import (
+        yuv420_content_to_full,
+        yuv420_to_rgb_u8,
+    )
+
+    if content_only:
+        yuv = yuv420_content_to_full(yuv, src_hw, image_size)
+    imgs = (yuv420_to_rgb_u8(yuv).astype(jnp.float32) / 255.0).astype(dtype)
+    heads = yolov5_forward(yolo_params, imgs, ycfg, dtype=dtype)
+    out = fused_detect_tail(
+        heads, ycfg,
+        conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
+    )
+    out["boxes"] = (
+        restore_boxes(out["boxes"], src_hw, image_size)
+        * out["valid"][..., None]
+    )
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "ycfg", "hp", "image_size", "src_hw",
         "max_det", "dtype", "frames_format",
     ),
@@ -83,6 +129,7 @@ def pipeline_batch_step(
         yuv420_to_rgb_u8,
     )
 
+    planar = False
     if frames_format == "raw_rgb":
         # cast to the conv compute dtype HERE (values identical to casting
         # inside the first conv block, since /255 happens in f32 either
@@ -114,6 +161,7 @@ def pipeline_batch_step(
                 )
 
                 crop_source = yuv420_to_rgb_u8_planar(frames)
+                planar = True
                 imgs = (
                     jnp.transpose(crop_source, (0, 2, 3, 1)).astype(jnp.float32)
                     / 255.0
@@ -152,7 +200,7 @@ def pipeline_batch_step(
     # parity tests); accumulation + normalization stay f32 (models/reid.py).
     feats = embed_detections_batch(
         crop_source, det["boxes"], det_valid,
-        reid_params, reid_stats, hp, dtype=dtype, **crop_kw,
+        reid_params, reid_stats, hp, dtype=dtype, planar=planar, **crop_kw,
     )  # [B, N, F]
 
     def body(states_, inp):

@@ -262,6 +262,7 @@ def embed_detections_batch(
     crop_gain: float = 1.0,
     crop_pad: Tuple[float, float] = (0.0, 0.0),
     dtype=None,
+    planar: bool = None,
 ) -> jax.Array:
     """Batch-global chunked ReID embed: [B, N, F], every valid det embedded.
 
@@ -272,8 +273,12 @@ def embed_detections_batch(
     b, n = valid.shape
     # frames may arrive channel-PLANAR [B, 3, H, W] (the pipeline's pixel
     # path can skip the [B, H, W, 3] interleave entirely; the Pallas crop
-    # kernel wants planar anyway) or interleaved [B, H, W, 3]
-    planar = frames.shape[1] == 3 and frames.shape[-1] != 3
+    # kernel wants planar anyway) or interleaved [B, H, W, 3]. Callers that
+    # know the layout pass `planar` explicitly (pipeline/step.py does); the
+    # shape inference is a fallback for direct callers and would misread a
+    # genuine NHWC source with W == 3 (no real letterbox is 3 px wide).
+    if planar is None:
+        planar = frames.shape[1] == 3 and frames.shape[-1] != 3
     frame_w = frames.shape[-1] if planar else frames.shape[2]
     fb = _crop_transform(boxes.reshape(b * n, 4), crop_gain, crop_pad)
     fb = jnp.concatenate([fb, jnp.zeros((1, 4), fb.dtype)])
