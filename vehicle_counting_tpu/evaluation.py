@@ -75,6 +75,7 @@ def evaluate_detections(
     ground_truths: Sequence[Dict],
     num_classes: int,
     conf_for_pr: float = 0.25,
+    max_dets: int = None,
 ) -> Dict[str, float]:
     """COCO-style detection metrics.
 
@@ -82,7 +83,13 @@ def evaluate_detections(
       'boxes' [N, 4] xyxy, 'classes' [N], and (preds only) 'scores' [N].
 
     Returns {'precision', 'recall', 'mAP50', 'mAP50_95'} — the reference's
-    published metric set (README.md:50-53).
+    published metric set (README.md:50-53). mAP values follow official
+    COCOeval semantics (score-greedy matching, pooled PR curve, backward
+    precision envelope, 101-point searchsorted interpolation; verified
+    against a pycocotools transcription in tests/test_cocoeval_golden.py);
+    pass max_dets=100 for COCO's per-image detection cap. P/R are reported
+    at a fixed confidence (COCOeval has no P/R summary; for parity with
+    the upstream YOLOv5 val harness's best-F1 P/R use evaluate_yolov5_v6).
     """
     aps = {t: [] for t in IOU_RANGE}
     tp_at_conf = fp_at_conf = fn_at_conf = 0
@@ -95,6 +102,13 @@ def evaluate_detections(
             gm = np.asarray(gt["classes"]) == c
             pb = np.asarray(pred["boxes"], np.float64).reshape(-1, 4)[pm]
             ps = np.asarray(pred["scores"], np.float64)[pm]
+            if max_dets is not None and len(ps) > max_dets:
+                # COCOeval evaluates per (image, category) and truncates
+                # each category's detections to maxDets by score (stable
+                # ties) BEFORE matching — per class, NOT per image
+                keep = np.argsort(-ps, kind="stable")[:max_dets]
+                keep.sort()
+                pb, ps = pb[keep], ps[keep]
             gb = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)[gm]
             n_gt += len(gb)
             for t in IOU_RANGE:
@@ -123,6 +137,119 @@ def evaluate_detections(
         "recall": float(recall),
         "mAP50": map50,
         "mAP50_95": map_all,
+    }
+
+
+# ---------------------------------------------------------------------------
+# YOLOv5 v6.0 val-harness semantics — the instrument that produced the
+# reference's published table (/root/reference/README.md:50-53 comes from
+# upstream val.py, NOT pycocotools). Differences from COCOeval, reproduced
+# faithfully here:
+#   * matching (val.py process_batch): candidate (gt, det) pairs are taken
+#     at IoU >= 0.50 with class agreement, sorted by IoU descending, then
+#     deduplicated per detection and per ground truth (np.unique
+#     first-occurrence, which reorders by index — the v6.0 quirk);
+#     HIGHER thresholds are judged by the matched pair's IoU, i.e. the
+#     match itself is fixed at 0.5;
+#   * AP (metrics.compute_ap, method='interp'): precision envelope then
+#     np.trapz(np.interp(linspace(0,1,101), mrec, mpre)) with sentinel
+#     points [0, ..., recall[-1] + 0.01];
+#   * P/R (metrics.ap_per_class): per-class P/R curves interpolated onto a
+#     1000-point confidence grid; the reported P/R are the columns at the
+#     confidence maximizing MEAN F1 across classes;
+#   * classes = np.unique(target_cls): predictions of classes absent from
+#     the ground truth are dropped entirely (not counted as FP anywhere).
+# ---------------------------------------------------------------------------
+
+
+def _yolo_process_batch(pred_boxes, pred_scores, pred_cls, gt_boxes, gt_cls):
+    """v6.0 val.py process_batch: tp flags [n_pred, 10] over IOU_RANGE."""
+    correct = np.zeros((len(pred_boxes), len(IOU_RANGE)), bool)
+    if len(pred_boxes) == 0 or len(gt_boxes) == 0:
+        return correct
+    iou = _iou_matrix(gt_boxes, pred_boxes)  # [n_gt, n_pred], labels-first
+    cls_ok = gt_cls[:, None] == pred_cls[None, :]
+    gi, di = np.where((iou >= IOU_RANGE[0]) & cls_ok)
+    if len(gi):
+        matches = np.stack([gi, di, iou[gi, di]], axis=1)
+        if len(gi) > 1:
+            matches = matches[matches[:, 2].argsort()[::-1]]
+            matches = matches[np.unique(matches[:, 1], return_index=True)[1]]
+            matches = matches[np.unique(matches[:, 0], return_index=True)[1]]
+        correct[matches[:, 1].astype(int)] = (
+            matches[:, 2:3] >= IOU_RANGE[None, :]
+        )
+    return correct
+
+
+_trapz = getattr(np, "trapezoid", None) or np.trapz  # np.trapz deprecated in numpy 2
+
+
+def _yolo_compute_ap(recall, precision):
+    """v6.0 metrics.compute_ap (method='interp')."""
+    mrec = np.concatenate(([0.0], recall, [recall[-1] + 0.01]))
+    mpre = np.concatenate(([1.0], precision, [0.0]))
+    mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
+    x = np.linspace(0, 1, 101)
+    return float(_trapz(np.interp(x, mrec, mpre), x))
+
+
+def evaluate_yolov5_v6(
+    predictions: Sequence[Dict], ground_truths: Sequence[Dict]
+) -> Dict[str, float]:
+    """The reference table's exact metric semantics (upstream v6.0 val.py).
+
+    Same input contract as evaluate_detections. Use THIS when comparing to
+    /root/reference/README.md:50-53 / BASELINE.md on egress day; use
+    evaluate_detections for COCOeval-style numbers.
+    """
+    tps, confs, pcls_all, tcls_all = [], [], [], []
+    for pred, gt in zip(predictions, ground_truths):
+        pb = np.asarray(pred["boxes"], np.float64).reshape(-1, 4)
+        ps = np.asarray(pred["scores"], np.float64).reshape(-1)
+        pc = np.asarray(pred["classes"]).reshape(-1)
+        gb = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
+        gc = np.asarray(gt["classes"]).reshape(-1)
+        tps.append(_yolo_process_batch(pb, ps, pc, gb, gc))
+        confs.append(ps)
+        pcls_all.append(pc)
+        tcls_all.append(gc)
+    tp = np.concatenate(tps) if tps else np.zeros((0, len(IOU_RANGE)), bool)
+    conf = np.concatenate(confs) if confs else np.zeros(0)
+    pred_cls = np.concatenate(pcls_all) if pcls_all else np.zeros(0, np.int64)
+    target_cls = np.concatenate(tcls_all) if tcls_all else np.zeros(0, np.int64)
+
+    # metrics.ap_per_class (v6.0), transcription with a stable sort for
+    # deterministic score ties (upstream uses default quicksort; order of
+    # equal scores is unspecified there)
+    order = np.argsort(-conf, kind="stable")
+    tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
+    unique_classes = np.unique(target_cls)
+    nc = len(unique_classes)
+    px = np.linspace(0, 1, 1000)
+    ap = np.zeros((nc, len(IOU_RANGE)))
+    p = np.zeros((nc, 1000))
+    r = np.zeros((nc, 1000))
+    for ci, c in enumerate(unique_classes):
+        sel = pred_cls == c
+        n_l = int((target_cls == c).sum())
+        if not sel.any() or n_l == 0:
+            continue
+        fpc = (1 - tp[sel]).cumsum(0)
+        tpc = tp[sel].cumsum(0)
+        recall = tpc / (n_l + 1e-16)
+        r[ci] = np.interp(-px, -conf[sel], recall[:, 0], left=0)
+        precision = tpc / (tpc + fpc)
+        p[ci] = np.interp(-px, -conf[sel], precision[:, 0], left=1)
+        for j in range(len(IOU_RANGE)):
+            ap[ci, j] = _yolo_compute_ap(recall[:, j], precision[:, j])
+    f1 = 2 * p * r / (p + r + 1e-16)
+    best = int(f1.mean(0).argmax()) if nc else 0
+    return {
+        "precision": float(p[:, best].mean()) if nc else 0.0,
+        "recall": float(r[:, best].mean()) if nc else 0.0,
+        "mAP50": float(ap[:, 0].mean()) if nc else 0.0,
+        "mAP50_95": float(ap.mean()) if nc else 0.0,
     }
 
 
@@ -186,6 +313,13 @@ def main(argv=None) -> Dict[str, float]:
     ap.add_argument("--gt", required=True, help="ground truth: COCO json or CSV")
     ap.add_argument("--num_classes", type=int, default=4)
     ap.add_argument("--conf", type=float, default=0.25, help="P/R reporting confidence")
+    ap.add_argument(
+        "--harness", choices=["yolov5", "coco"], default="yolov5",
+        help="yolov5: the upstream v6.0 val.py semantics that produced the "
+        "reference's published table (default); coco: COCOeval-style",
+    )
+    ap.add_argument("--max_dets", type=int, default=None,
+                    help="COCO per-image detection cap (coco harness only)")
     args = ap.parse_args(argv)
 
     preds = _load_pred_csv(args.pred)
@@ -194,12 +328,15 @@ def main(argv=None) -> Dict[str, float]:
                "scores": np.zeros(0)}
     empty_g = {"boxes": np.zeros((0, 4)), "classes": np.zeros(0, np.int64)}
     frame_ids = sorted(set(preds) | set(gts))
-    metrics = evaluate_detections(
-        [preds.get(f, empty_p) for f in frame_ids],
-        [gts.get(f, empty_g) for f in frame_ids],
-        num_classes=args.num_classes,
-        conf_for_pr=args.conf,
-    )
+    pl = [preds.get(f, empty_p) for f in frame_ids]
+    gl = [gts.get(f, empty_g) for f in frame_ids]
+    if args.harness == "yolov5":
+        metrics = evaluate_yolov5_v6(pl, gl)
+    else:
+        metrics = evaluate_detections(
+            pl, gl, num_classes=args.num_classes, conf_for_pr=args.conf,
+            max_dets=args.max_dets,
+        )
     print(_json.dumps({k: round(v, 5) for k, v in metrics.items()}))
     return metrics
 

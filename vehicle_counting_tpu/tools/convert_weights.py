@@ -1,14 +1,20 @@
 #!/usr/bin/env python
-"""Convert torch checkpoints to framework-native .npz pytrees.
+"""Convert torch checkpoints to torch-free .npz weight files.
 
     python -m vehicle_counting_tpu.tools.convert_weights \
-        --kind yolov5 --input yolov5s.pt --output yolov5s_fused.npz
+        --kind yolov5 --input yolov5s.pt --output yolov5s.npz
     python -m vehicle_counting_tpu.tools.convert_weights \
         --kind reid --input ckpt.t7 --output reid.npz
 
-YOLO conversion folds BatchNorm into the convs (models/convert.py); ReID keeps
-BN explicit so the trainer can resume. The .npz stores flattened pytree
-leaves with path-encoded keys, loadable without torch installed.
+The output .npz stores the checkpoint's STATE DICT (torch parameter names,
+float32) — exactly what `run.py --weight yolov5s.npz` / the cam-config
+`checkpoint:` key accept: models/convert.load_yolov5_weights and
+models/reid.load_reid_weights read state-dict .npz directly (BN folding /
+name mapping happen at load, same as for a .pt). Converting once means
+torch never has to be installed on the serving host.
+
+_flatten_to_npz / load_npz_pytree below are the lower-level pytree dump
+utilities (used for already-converted JAX trees, e.g. trainer outputs).
 """
 
 from __future__ import annotations
@@ -48,16 +54,24 @@ def main():
     p.add_argument("--output", required=True)
     args = p.parse_args()
 
+    from vehicle_counting_tpu.models.convert import (
+        extract_state_dict,
+        load_torch_checkpoint,
+    )
+
+    sd = extract_state_dict(load_torch_checkpoint(args.input))
+    # validate the conversion end-to-end before writing: the same loaders
+    # run.py will use must accept the dict
     if args.kind == "yolov5":
-        from vehicle_counting_tpu.models.convert import load_yolov5_weights
+        from vehicle_counting_tpu.models.convert import yolov5_state_dict_to_pytree
 
-        tree = load_yolov5_weights(args.input)
+        yolov5_state_dict_to_pytree(sd)
     else:
-        from vehicle_counting_tpu.models.reid import load_reid_weights
+        from vehicle_counting_tpu.models.reid import reid_state_dict_to_pytree
 
-        tree = load_reid_weights(args.input)  # (params, stats) tuple
-    n = _flatten_to_npz(tree, args.output)
-    print(f"wrote {n} arrays to {args.output}")
+        reid_state_dict_to_pytree(sd)
+    np.savez(args.output, **sd)
+    print(f"wrote {len(sd)} arrays to {args.output}")
 
 
 if __name__ == "__main__":
