@@ -81,3 +81,26 @@ def test_fused_tail_through_forward():
     )
     for k in ("valid", "classes", "scores", "boxes"):
         assert np.array_equal(np.asarray(ref[k]), np.asarray(got[k])), k
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_packed_rows_modes_bitwise_equal(dtype):
+    """The packed candidate extraction (lane slices + full-map argmax) is
+    bitwise-identical to the wide-row gather path: same xywh logits, same
+    class argmax ties (first max either way), same scores/merge."""
+    import vehicle_counting_tpu.models.detector as det_mod
+
+    rng = np.random.default_rng(11)
+    cfg = YoloConfig(variant="yolov5n", num_classes=13)
+    heads = _random_heads(rng, cfg, 2, (96, 160), dtype)
+    kw = dict(conf_thres=0.01, iou_thres=0.45, max_det=32, pre_nms_topk=64)
+    prev = det_mod.TAIL_ROWS_MODE
+    try:
+        det_mod.TAIL_ROWS_MODE = "packed"
+        a = fused_detect_tail(heads, cfg, **kw)
+        det_mod.TAIL_ROWS_MODE = "rows"
+        b = fused_detect_tail(heads, cfg, **kw)
+    finally:
+        det_mod.TAIL_ROWS_MODE = prev
+    for k in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)

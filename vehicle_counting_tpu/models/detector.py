@@ -35,6 +35,24 @@ VEHICLE_CLASS_NAMES: Tuple[str, ...] = ("motorbike", "car", "bus", "truck")
 # came from going head-wise instead (fused_detect_tail), where the same
 # exactness argument (exact_topk's proof) justifies the per-head merge.
 
+# Detect-tail candidate-row strategy (trace-time knob; flips need fresh jit
+# traces). "packed" (default, measured r4): never gather 255-lane rows from
+# the conv output — per-candidate components (xywh logits + the class
+# argmax riding along as a 5th bf16 lane) are extracted for every anchor
+# as lane slices / lane reduces that fuse into the head's score pass
+# regardless of XLA's {3,0,2,1} conv layout, and ONE small [B, k, 5] row
+# gather replaces the [B, k, 255] one. Measured on v5e B=128 (xprof trace
+# units; ROADMAP r4): data formatting 177 -> 89, tail device total
+# 563 -> 451, tail wall 0.096 -> 0.082 ms/frame. Two earlier shapes lost:
+# separate xywh + i32 cls gathers (628 — a 1-lane i32 gather costs MORE
+# than the 4-lane row gather: per-row overhead dominates), and jnp.argmax
+# for the class index (lowers as an expensive variadic custom fusion; the
+# compare + masked-min against the score pass's existing class max is the
+# cheap exact form). "rows": the r2/r3 wide-row gather path, kept for A/B.
+import os as _os
+
+TAIL_ROWS_MODE = _os.environ.get("VCT_TAIL_ROWS", "packed")
+
 
 def exact_topk(scores: jax.Array, k: int, groups: int = 1):
     """lax.top_k-equivalent (values AND index tie-breaking) in two phases.
@@ -130,8 +148,13 @@ def fused_detect_tail(
     # Stay in each head's native [B, HW, na*no] lane layout: assembling the
     # concatenated [B, A, no] view relayouts + copies ~4.3 MB/frame of bf16
     # head data (measured ~40 us/frame of the tail's 113 on v5e). Scores
-    # come from lane extracts/reduces on the 255-lane tiles; only the
-    # <= pre_nms_topk candidate rows per head are ever gathered.
+    # come from lane extracts/reduces on the 255-lane tiles; in "packed"
+    # mode the candidate components (xywh logits, class argmax) are ALSO
+    # extracted as lane slices/reduces — nothing ever gathers a wide row
+    # from the conv output, so the ~10 us/frame-per-head relayout copies
+    # the r3 xprof trace attributed to the row-major row-gather operands
+    # disappear (see TAIL_ROWS_MODE above).
+    packed = TAIL_ROWS_MODE == "packed"
     cand_v, cand_gidx, cand_rows = [], [], []
     for hi, head in enumerate(heads):
         hh, wh_ = shapes[hi]
@@ -140,9 +163,11 @@ def fused_detect_tail(
         # per-anchor score = sigmoid(obj) * sigmoid(max cls logit) — same
         # values as the concatenated form (bf16 max reduce, f32 sigmoids)
         s_parts = []
+        cls_max = []
         for a in range(na):
             obj_l = flat[:, :, a * no + 4].astype(jnp.float32)
             cls_m = jnp.max(flat[:, :, a * no + 5 : (a + 1) * no], axis=-1)
+            cls_max.append(cls_m)
             s_parts.append(
                 jax.nn.sigmoid(obj_l)
                 * jax.nn.sigmoid(cls_m.astype(jnp.float32))
@@ -156,23 +181,75 @@ def fused_detect_tail(
         if kh < k:
             v1 = jnp.pad(v1, ((0, 0), (0, k - kh)), constant_values=-jnp.inf)
             i1 = jnp.pad(i1, ((0, 0), (0, k - kh)))
-        # candidate rows: gather the 255-lane cell row, then window-select
-        # the anchor's no-lane slice (pure selection, conv dtype preserved)
-        cell1 = i1 // na
-        a1 = i1 % na
-        rows_wide = jnp.take_along_axis(
-            flat, cell1[:, :, None], axis=1
-        )  # [B, k, na*no]
-        r85 = rows_wide[:, :, 0:no]
-        for a in range(1, na):
-            r85 = jnp.where(
-                (a1 == a)[:, :, None],
-                rows_wide[:, :, a * no : (a + 1) * no],
-                r85,
-            )
+        if packed:
+            # xywh logits and class argmax for EVERY anchor, as lane
+            # slices / lane reduces on the native head (the score max
+            # reduce above already streams these bytes; XLA multi-output-
+            # fuses the extra reduces into the same pass).
+            #
+            # class argmax WITHOUT jnp.argmax: the score loop already has
+            # each anchor's class max, so the index is "first lane equal
+            # to the max" — a compare + masked min-reduce. Exact: bf16
+            # equality with its own max is exact, and min of the matching
+            # lane indices IS argmax's first-max tie rule.
+            #
+            # The index RIDES ALONG as a 5th lane of the candidate rows
+            # (exact in the conv dtype for nc <= 256 — bf16 holds small
+            # ints exactly), so ONE row gather serves both: on-chip the
+            # per-row gather overhead dominates, and a separate [B, k]
+            # i32 gather measured MORE expensive than the whole 4-lane
+            # row gather (125 vs 91 trace units, ROADMAP r4).
+            nc_l = no - 5
+            lane_i = jnp.arange(nc_l, dtype=jnp.int32)
+            assert nc_l <= 256, "cls index must be exact in bf16 lanes"
+            # anchor-minor interleaved stack (row = cell*na + a, gathered
+            # directly with i1). MEASURED NEGATIVE (don't retry): the
+            # anchor-CONCATENATED [B, na*HW, 5] layout with a remapped
+            # gather index (a*HW + cell) is WORSE — tail trace 493 vs 451
+            # us-units, data formatting 89.5 -> 128.7 — the per-anchor
+            # block concat relayouts more than this interleave stack.
+            rows5 = jnp.stack(
+                [
+                    jnp.concatenate(
+                        [
+                            flat[:, :, a * no : a * no + 4],
+                            jnp.min(
+                                jnp.where(
+                                    flat[:, :, a * no + 5 : (a + 1) * no]
+                                    == cls_max[a][:, :, None],
+                                    lane_i,
+                                    nc_l,
+                                ),
+                                axis=-1,
+                            )[:, :, None].astype(flat.dtype),
+                        ],
+                        axis=-1,
+                    )
+                    for a in range(na)
+                ],
+                axis=2,
+            ).reshape(b, hw * na, 5)              # [B, HW*na, 5] conv dtype
+            cand_rows.append(
+                jnp.take_along_axis(rows5, i1[:, :, None], axis=1)
+            )                                      # [B, k, 5] row gather
+        else:
+            # candidate rows: gather the 255-lane cell row, then window-
+            # select the anchor's no-lane slice (conv dtype preserved)
+            cell1 = i1 // na
+            a1 = i1 % na
+            rows_wide = jnp.take_along_axis(
+                flat, cell1[:, :, None], axis=1
+            )  # [B, k, na*no]
+            r85 = rows_wide[:, :, 0:no]
+            for a in range(1, na):
+                r85 = jnp.where(
+                    (a1 == a)[:, :, None],
+                    rows_wide[:, :, a * no : (a + 1) * no],
+                    r85,
+                )
+            cand_rows.append(r85)
         cand_v.append(v1)
         cand_gidx.append(offs[hi] + i1)
-        cand_rows.append(r85)
 
     # exact merge: candidates are ordered (head, in-head rank); heads are
     # index-contiguous ascending and in-head ties come out index-ascending,
@@ -180,7 +257,7 @@ def fused_detect_tail(
     # lower-index rule (same argument as exact_topk's proof)
     mv = jnp.concatenate(cand_v, axis=1)        # [B, nh*k]
     mg = jnp.concatenate(cand_gidx, axis=1)
-    mr = jnp.concatenate(cand_rows, axis=1)     # [B, nh*k, no]
+    mr = jnp.concatenate(cand_rows, axis=1)     # [B, nh*k, no|5]
 
     def per_image(mv_i, mg_i, mr_i):
         top_sc, pos = jax.lax.top_k(mv_i, k)
@@ -188,9 +265,13 @@ def fused_detect_tail(
         idx = mg_i[pos]
         valid = top_sc > 0
 
-        rows = mr_i[pos]  # [k, no] gather from the small candidate buffer
-        cl_k = jnp.argmax(rows[:, 5:], axis=-1).astype(jnp.int32)
-        s_xywh = jax.nn.sigmoid(rows[:, 0:4].astype(jnp.float32))
+        rows = mr_i[pos]  # [k, no|5] gather from the small candidate buffer
+        if packed:
+            cl_k = rows[:, 4].astype(jnp.int32)
+            s_xywh = jax.nn.sigmoid(rows[:, 0:4].astype(jnp.float32))
+        else:
+            cl_k = jnp.argmax(rows[:, 5:], axis=-1).astype(jnp.int32)
+            s_xywh = jax.nn.sigmoid(rows[:, 0:4].astype(jnp.float32))
 
         # which head each candidate came from, then its grid cell/anchor
         h_id = jnp.zeros_like(idx)
