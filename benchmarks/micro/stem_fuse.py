@@ -19,6 +19,26 @@ work or the pool. This script measures:
 KILL RULE (pre-committed): if (2) alone is >= ~70% of (1), the kernel
 cannot meaningfully win even with a free patch build — formally close the
 stem chapter in ROADMAP instead of writing a third kernel.
+
+MEASURED OUTCOME (v5e, round 4) — chapter CLOSED, stem stays on XLA:
+    XLA stem+bias+BN+relu+maxpool                    86-89 us/frame
+    kernel stem matmul floor (K=128 pad / K=32)      26 us/frame
+    XLA conv with c_in zero-padded to 8/16/32        89 us/frame (no change)
+    XLA im2col dot [.,27]@[27,64] + pool            180 us/frame (2x worse)
+    XLA im2col dot + strided-max pool               392 us/frame
+The matmul floor passes the 70% rule, but the PATCH BUILD kills every
+implementable packing: (a) vreg-aligned 128-lane tap slabs multiply K to
+1152 (9x floor = 230 us); 32-lane slabs to 288 (2.25x = 57 us); (b) an
+exact 27-lane build needs per-tap lane rolls + masks on [2550, 128] tiles
+— 27 vector ops/crop = 264 M element-ops/frame at 30 crops, >= ~70
+us/frame AT VPU PEAK, 3.5x over the pre-committed 20 us/frame patch-build
+kill bar before a line of Mosaic is written (reid_block's cheap patch
+concat relied on half-vreg 64-lane slabs; 3-lane slabs have no aligned
+form); (c) the K-on-sublanes form (W [64, 27] @ patches^T with pixels on
+lanes) makes the patch build ~free but emits [64ch, pixels] planar output
+whose transpose back to [pixels, 64] for layer1 costs a one-hot matmul
+larger than the conv itself. XLA's conv (86 us, ~3x its own roofline due
+to the c_in=3 stream) remains the best implementable form on this chip.
 """
 import sys
 import time
@@ -89,6 +109,69 @@ def stem_matmul_floor(a, w):
 lhs32 = lhs[:, :32]
 w32 = w128[:32]
 
+# Pure-XLA restructurings (exact by construction; measured before any
+# Mosaic work — reid_block's lesson is that kernel fights end in washes):
+
+
+def stem_pool_cpad(cin_pad):
+    """Zero-pad input channels 3 -> cin_pad (x + 0*w == x exactly): does
+    XLA's conv engine run faster at a friendlier c_in?"""
+    wz = jnp.zeros((3, 3, cin_pad, 64), jnp.float32)
+    wz = wz.at[:, :, :3, :].set(params["stem"]["w"])
+
+    def fn(x):
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cin_pad - 3)))
+        y = conv2d(xp, wz, dtype=jnp.bfloat16) + params["stem"]["b"]
+        y, _ = _bn(y, params["stem"]["bn"], stats["stem"], False)
+        y = jax.nn.relu(y)
+        return max_pool(y, 3, 2, 1).sum(dtype=jnp.float32)
+
+    return fn
+
+
+def stem_pool_im2col(x):
+    """stem conv as an explicit [N*2500, 27] @ [27, 64] dot (XLA-built
+    patches): same bf16 operands, f32 accumulation; summation order
+    differs from the conv lowering (conv tolerance, like reid_block)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(jnp.bfloat16)
+    slabs = [
+        xp[:, dy : dy + 50, dx : dx + 50, :]
+        for dy in range(3)
+        for dx in range(3)
+    ]
+    patches = jnp.concatenate(slabs, axis=-1).reshape(N * 2500, 27)
+    wf = params["stem"]["w"].reshape(27, 64).astype(jnp.bfloat16)
+    y = jax.lax.dot(patches, wf, preferred_element_type=jnp.float32)
+    y = y.reshape(N, 50, 50, 64) + params["stem"]["b"]
+    y, _ = _bn(y, params["stem"]["bn"], stats["stem"], False)
+    y = jax.nn.relu(y)
+    return max_pool(y, 3, 2, 1).sum(dtype=jnp.float32)
+
+
+def stem_pool_im2col_pooledfirst(x):
+    """im2col dot + pool expressed as max of 9 strided views of the conv
+    output (identical values; lets XLA pick a different fusion shape)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(jnp.bfloat16)
+    slabs = [
+        xp[:, dy : dy + 50, dx : dx + 50, :]
+        for dy in range(3)
+        for dx in range(3)
+    ]
+    patches = jnp.concatenate(slabs, axis=-1).reshape(N * 2500, 27)
+    wf = params["stem"]["w"].reshape(27, 64).astype(jnp.bfloat16)
+    y = jax.lax.dot(patches, wf, preferred_element_type=jnp.float32)
+    y = y.reshape(N, 50, 50, 64) + params["stem"]["b"]
+    y, _ = _bn(y, params["stem"]["bn"], stats["stem"], False)
+    y = jax.nn.relu(y)
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+    m = None
+    for dy in range(3):
+        for dx in range(3):
+            v = yp[:, dy : dy + 50 : 2, dx : dx + 50 : 2, :]
+            m = v if m is None else jnp.maximum(m, v)
+    return m.sum(dtype=jnp.float32)
+
+
 if __name__ == "__main__":
     print(f"backend={jax.default_backend()}  N={N} crops ({FRAMES} frames)")
     base = run(stem_pool, "XLA stem+bias+BN+relu+maxpool", crops)
@@ -105,3 +188,7 @@ if __name__ == "__main__":
         f"kill rule: floor {f_pad:.1f} vs 0.7 * baseline "
         f"{0.7 * base:.1f} -> {'KILL' if f_pad >= 0.7 * base else 'proceed'}"
     )
+    for cp in (8, 16, 32):
+        run(stem_pool_cpad(cp), f"XLA conv, c_in zero-padded to {cp}", crops)
+    run(stem_pool_im2col, "XLA im2col dot [.,27]@[27,64] + pool", crops)
+    run(stem_pool_im2col_pooledfirst, "XLA im2col dot + strided-max pool", crops)
