@@ -46,6 +46,9 @@ _SLOW = {
     ("test_graft_entry.py", "test_dryrun_multichip_self_bootstraps_ambient_env"),
     ("test_multicam_pipeline.py", "test_multicam_pipeline_runs"),
     ("test_pipeline_e2e.py", "test_pipeline_end_to_end"),
+    ("test_serving.py", "test_pipeline_step_export_matches_live"),
+    ("test_serving.py", "test_multicam_export_roundtrip"),
+    ("test_serving.py", "test_cli_export_and_smoke"),
     ("test_pipeline_e2e.py", "test_profile_flag_writes_trace"),
     ("test_pipeline_e2e.py", "test_observability_stage_timer_and_debug"),
     ("test_reference_parity.py", "test_crowded_frame_full_facade_matches_reference"),

@@ -24,15 +24,8 @@ from vehicle_counting_tpu.pipeline.step import pipeline_batch_step
 from vehicle_counting_tpu.tracking.deepsort import DeepSortParams
 
 
-def multicam_batch_step(
+def make_multicam_step(
     mesh: Mesh,
-    yolo_params,
-    reid_params,
-    reid_stats,
-    states,          # stacked per-camera TrackerState: leaves [N_cam, C, ...]
-    frames,          # [N_cam, B, H, W, 3]
-    frame_valid,     # [N_cam, B]
-    class_lut,       # [nc]
     *,
     ycfg: YoloConfig,
     hp: DeepSortParams,
@@ -44,7 +37,13 @@ def multicam_batch_step(
     dtype=jnp.bfloat16,
     frames_format: str = "raw_rgb",
 ):
-    """One batch step for every camera at once, cameras sharded over 'cam'."""
+    """The jitted camera-sharded step with static config bound.
+
+    Returned callable: (yolo_params, reid_params, reid_stats, class_lut,
+    states, frames, frame_valid) -> (new_states, track_outs); exposing the
+    jit directly (rather than applying it, as multicam_batch_step does) is
+    what serving/artifact.py needs to AOT-export the multi-chip program.
+    """
 
     def local(yolo_p, reid_p, reid_s, lut, states_l, frames_l, valid_l):
         def body(_, xs):
@@ -67,6 +66,35 @@ def multicam_batch_step(
         out_specs=(P("cam"), P("cam")),
         check_vma=False,
     )
-    return jax.jit(sharded)(
+    return jax.jit(sharded)
+
+
+def multicam_batch_step(
+    mesh: Mesh,
+    yolo_params,
+    reid_params,
+    reid_stats,
+    states,          # stacked per-camera TrackerState: leaves [N_cam, C, ...]
+    frames,          # [N_cam, B, H, W, 3]
+    frame_valid,     # [N_cam, B]
+    class_lut,       # [nc]
+    *,
+    ycfg: YoloConfig,
+    hp: DeepSortParams,
+    image_size: Tuple[int, int],
+    src_hw: Tuple[int, int],
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    dtype=jnp.bfloat16,
+    frames_format: str = "raw_rgb",
+):
+    """One batch step for every camera at once, cameras sharded over 'cam'."""
+    step = make_multicam_step(
+        mesh, ycfg=ycfg, hp=hp, image_size=image_size, src_hw=src_hw,
+        conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
+        dtype=dtype, frames_format=frames_format,
+    )
+    return step(
         yolo_params, reid_params, reid_stats, class_lut, states, frames, frame_valid
     )
