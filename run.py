@@ -8,7 +8,9 @@ Reference flags (run.py:6-12): --weight, --input_path, --output_path, --gpus,
 --debug, --mapping. `--gpus` is accepted for compatibility but device
 selection is JAX-managed on TPU. The COCO->vehicle MAPPING_DICT
 (run.py:38-46) is applied with `--mapping coco` (and automatically for
-80-class checkpoints).
+80-class checkpoints). `--multicam` runs every video concurrently, cameras
+sharded over the device mesh (pipeline/multicam.py) instead of the
+reference's strictly serial per-video loop (modules/__init__.py:29).
 """
 
 import argparse
@@ -29,6 +31,10 @@ parser.add_argument("--config", type=str, default=None, help="path to configs.ya
 parser.add_argument("--cam_config", type=str, default=None, help="path to cam_configs.yaml override")
 parser.add_argument("--no_visualize", action="store_true", help="skip the annotated-MP4 second pass")
 parser.add_argument("--detect_only", action="store_true", help="detection-only pass: per-frame detections CSV, no tracking")
+parser.add_argument("--multicam", action="store_true",
+                    help="process all videos CONCURRENTLY, cameras sharded over the "
+                         "device mesh (one chip per camera group; same CSV/MP4 artifacts). "
+                         "Videos must share frame geometry; serial per-video mode otherwise.")
 
 
 def main(args, config, cam_config):
@@ -38,6 +44,14 @@ def main(args, config, cam_config):
     args.mapping_dict = COCO_VEHICLE_MAPPING if args.mapping == "coco" else None
 
     print(config)
+    if getattr(args, "multicam", False) and not args.detect_only:
+        from vehicle_counting_tpu.pipeline.multicam import MultiCamCountingPipeline
+
+        pipeline = MultiCamCountingPipeline(args, config, cam_config)
+        results = pipeline.run(visualize=not args.no_visualize)
+        for r in results:
+            print(f"{r['csv']}: counts={r['counts']}")
+        return results
     pipeline = CountingPipeline(args, config, cam_config)
     if args.detect_only:
         results = [pipeline.run_video_detect_only(p) for p in pipeline.all_video_paths]

@@ -42,6 +42,39 @@ def two_cams(tmp_path):
     return str(vids), str(zones)
 
 
+def _make_static_video(path, seed):
+    """Identical textured frames -> identical per-frame detections, so the
+    serial-vs-multicam comparison is not perturbed by decode jitter."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+    img = cv2.GaussianBlur(img, (5, 5), 2)
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (W, H))
+    for _ in range(N):
+        writer.write(img)
+    writer.release()
+
+
+@pytest.fixture
+def two_static_cams(tmp_path):
+    vids = tmp_path / "vids"
+    zones = tmp_path / "zones"
+    vids.mkdir()
+    zones.mkdir()
+    for name, seed in [("cam_s1", 10), ("cam_s2", 11)]:
+        _make_static_video(str(vids / f"{name}.mp4"), seed)
+        zone = {
+            "shapes": [
+                # margin past the frame: fake-weight boxes clip to the frame
+                # and the corner-in-polygon rule wants corners strictly inside
+                {"label": "zone",
+                 "points": [[-5, -5], [W + 5, -5], [W + 5, H + 5], [-5, H + 5]]},
+                {"label": "direction01", "points": [[10, 48], [110, 48]]},
+            ]
+        }
+        (zones / f"{name}.json").write_text(json.dumps(zone))
+    return str(vids), str(zones)
+
+
 def test_multicam_pipeline_runs(two_cams, tmp_path):
     vids, zones = two_cams
     out = str(tmp_path / "out")
@@ -60,3 +93,71 @@ def test_multicam_pipeline_runs(two_cams, tmp_path):
     for r in results:
         assert os.path.exists(r["csv"])
         assert r["camera"].startswith("cam_a")
+
+
+def _pipeline_cfg(zones):
+    cfg = config_from_dict(default_config(), {
+        "detect_batch": 4, "max_tracks_per_class": 8, "image_size": [96, 96],
+        "model_name": "yolov5n", "thin_upload": False, "min_conf": 0.05,
+    })
+    cam_cfg_dict = default_cam_config().to_dict()
+    cam_cfg_dict["zone_path"] = zones
+    return cfg, Config(_settings=cam_cfg_dict)
+
+
+def test_multicam_matches_serial_csv(two_static_cams, tmp_path):
+    """The camera-sharded path writes the SAME artifacts as the reference-
+    shaped serial loop: per-camera CSVs field-equal (color excluded — random
+    per track by design, SURVEY.md §7)."""
+    import pandas as pd
+
+    from vehicle_counting_tpu.pipeline import CountingPipeline
+
+    vids, zones = two_static_cams
+    out_s = str(tmp_path / "serial")
+    out_m = str(tmp_path / "multicam")
+    cfg, cam_cfg = _pipeline_cfg(zones)
+
+    args_s = types.SimpleNamespace(weight=None, input_path=vids, output_path=out_s,
+                                   mapping_dict=None, debug=False)
+    serial = CountingPipeline(args_s, cfg, cam_cfg)
+    res_s = serial.run(visualize=False)
+    assert all(r.get("csv") for r in res_s)
+
+    args_m = types.SimpleNamespace(weight=None, input_path=vids, output_path=out_m,
+                                   mapping_dict=None, debug=False)
+    pipe = MultiCamCountingPipeline(args_m, cfg, cam_cfg,
+                                    mesh=make_mesh(2, axis_names=("cam",)))
+    res_m = pipe.run(visualize=False)
+    assert len(res_m) == len(res_s) == 2
+
+    compared_rows = 0
+    for cam in ("cam_s1", "cam_s2"):
+        a = pd.read_csv(os.path.join(out_s, cam + ".csv"))
+        b = pd.read_csv(os.path.join(out_m, cam + ".csv"))
+        cols = [c for c in a.columns if c != "color"]
+        pd.testing.assert_frame_equal(a[cols], b[cols])
+        compared_rows += len(a)
+    # random-init yolov5n at min_conf 0.05 on textured static frames must
+    # produce tracks, or this test compared empty files
+    assert compared_rows > 0
+
+
+def test_run_cli_multicam(two_cams, tmp_path, monkeypatch):
+    """run.py --multicam end-to-end through main()."""
+    import importlib.util
+
+    vids, zones = two_cams
+    out = str(tmp_path / "cli_out")
+    cfg, cam_cfg = _pipeline_cfg(zones)
+    # config files are resolved by main()'s caller; pass objects directly
+    spec = importlib.util.spec_from_file_location(
+        "vct_run_cli", os.path.join(os.path.dirname(__file__), "..", "run.py"))
+    run_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_mod)
+    args = run_mod.parser.parse_args(
+        ["--input_path", vids, "--output_path", out, "--multicam", "--no_visualize"])
+    results = run_mod.main(args, cfg, cam_cfg)
+    assert len(results) == 2
+    for r in results:
+        assert os.path.exists(r["csv"])
