@@ -33,8 +33,10 @@ parser.add_argument("--no_visualize", action="store_true", help="skip the annota
 parser.add_argument("--detect_only", action="store_true", help="detection-only pass: per-frame detections CSV, no tracking")
 parser.add_argument("--multicam", action="store_true",
                     help="process all videos CONCURRENTLY, cameras sharded over the "
-                         "device mesh (one chip per camera group; same CSV/MP4 artifacts). "
-                         "Videos must share frame geometry; serial per-video mode otherwise.")
+                         "device mesh (same CSV/MP4 artifacts). Videos are grouped by "
+                         "(frame geometry, per-camera tracking_config); each group runs "
+                         "as one compiled program, so every camera keeps its own "
+                         "cam_configs.yaml DeepSORT params.")
 
 
 def main(args, config, cam_config):
@@ -50,7 +52,10 @@ def main(args, config, cam_config):
         pipeline = MultiCamCountingPipeline(args, config, cam_config)
         results = pipeline.run(visualize=not args.no_visualize)
         for r in results:
-            print(f"{r['csv']}: counts={r['counts']}")
+            if r.get("csv"):
+                print(f"{r['csv']}: counts={r['counts']}")
+            else:
+                print(f"FAILED {r.get('camera')}: {r.get('error')}")
         return results
     pipeline = CountingPipeline(args, config, cam_config)
     if args.detect_only:

@@ -45,6 +45,12 @@ _SLOW = {
     ("test_pallas_cascade.py", "test_fused_cascade_batched_classes"),
     ("test_graft_entry.py", "test_dryrun_multichip_self_bootstraps_ambient_env"),
     ("test_multicam_pipeline.py", "test_multicam_pipeline_runs"),
+    ("test_multicam_pipeline.py", "test_multicam_matches_serial_csv"),
+    ("test_multicam_pipeline.py", "test_multicam_ragged_lengths_match_serial"),
+    ("test_multicam_pipeline.py", "test_multicam_per_camera_params_match_serial"),
+    ("test_multicam_pipeline.py", "test_run_cli_multicam"),
+    ("test_multicam_pipeline.py", "test_multicam_per_camera_fault_isolation"),
+    ("test_multicam_pipeline.py", "test_multicam_mixed_geometry_groups"),
     ("test_pipeline_e2e.py", "test_pipeline_end_to_end"),
     ("test_serving.py", "test_pipeline_step_export_matches_live"),
     ("test_serving.py", "test_multicam_export_roundtrip"),

@@ -9,7 +9,11 @@ one reader/accumulator per camera; cameras that run out of frames ride along
 with valid=False until the longest video finishes.
 
 Constraint: cameras in one group share frame geometry and DeepSORT
-hyper-parameters (one compiled program). Mixed fleets split into groups.
+hyper-parameters (one compiled program). Mixed fleets are split into groups
+automatically — run() partitions the videos by (frame geometry, per-camera
+tracking_config) and runs one concurrent loop per group, so each camera gets
+EXACTLY its own cam_configs.yaml hyper-parameters (the reference's per-video
+DeepSORT params, modules/__init__.py:34-38), never camera 0's.
 """
 
 from __future__ import annotations
@@ -31,43 +35,74 @@ class MultiCamCountingPipeline:
         self.mesh = mesh
 
     def run(self, visualize: bool = False) -> List[Dict]:
+        """Partition videos into (geometry, hyper-param) groups and run each
+        group's concurrent loop; results return in the original path order."""
+        from vehicle_counting_tpu.data import VideoReader
+
+        base = self.base
+        paths = base.all_video_paths
+        if not paths:
+            return []
+        results: List[Dict] = [None] * len(paths)
+        readers, cam_names = {}, {}
+        groups: Dict[tuple, List[int]] = {}
+        for i, p in enumerate(paths):
+            try:
+                # per-video isolation at open time too (serial loop contract)
+                readers[i] = VideoReader(p, batch_size=base.batch_size)
+            except Exception as e:
+                results[i] = {"csv": None, "error": str(e), "video": p,
+                              "camera": base.get_cam_name(p)}
+                continue
+            cam_names[i] = base.get_cam_name(p)
+            info = readers[i].video_info
+            key = ((info["height"], info["width"]), base._cam_params(cam_names[i]))
+            groups.setdefault(key, []).append(i)
+        for (_, hp), idxs in groups.items():
+            group_res = self._run_group(
+                [readers[i] for i in idxs], [cam_names[i] for i in idxs],
+                hp, visualize=visualize,
+            )
+            for i, res in zip(idxs, group_res):
+                results[i] = res
+        return results
+
+    def _run_group(self, readers, cam_names, hp, visualize: bool = False) -> List[Dict]:
         import jax
         import jax.numpy as jnp
 
         from vehicle_counting_tpu.counting import VehicleCounter, count_directions
-        from vehicle_counting_tpu.data import VideoReader, VideoWriter
+        from vehicle_counting_tpu.data import VideoWriter
         from vehicle_counting_tpu.parallel.cameras import multicam_batch_step
         from vehicle_counting_tpu.parallel.mesh import make_mesh
 
         base = self.base
-        paths = base.all_video_paths
-        n_cam = len(paths)
-        if n_cam == 0:
-            return []
+        n_cam = len(readers)
         mesh = self.mesh or make_mesh(None, axis_names=("cam",))
         n_dev = mesh.devices.size
         # pad camera count to a multiple of the mesh size
         pad_cams = (-n_cam) % n_dev
 
-        readers = [VideoReader(p, batch_size=base.batch_size) for p in paths]
         infos = [r.video_info for r in readers]
         h, w = infos[0]["height"], infos[0]["width"]
-        for info in infos:
-            if (info["height"], info["width"]) != (h, w):
-                raise ValueError("multicam group requires equal frame geometry")
 
-        cam_names = [base.get_cam_name(p) for p in paths]
-        hp = base._cam_params(cam_names[0])  # shared hyper-params per group
         one = base._init_states(hp)
         total = n_cam + pad_cams
         states = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (total,) + x.shape).copy(), one
         )
 
-        counters = [
-            VehicleCounter(base.class_names, os.path.join(base.zone_path, c + ".json"))
-            for c in cam_names
-        ]
+        # a camera with a missing/bad zone file still rides through the
+        # compute loop (frames are shared work); it fails alone at output
+        counters, counter_errors = [], []
+        for c in cam_names:
+            try:
+                counters.append(VehicleCounter(
+                    base.class_names, os.path.join(base.zone_path, c + ".json")))
+                counter_errors.append(None)
+            except Exception as e:
+                counters.append(None)
+                counter_errors.append(e)
         rows = [
             {"frames": [], "tracks": [], "labels": [], "boxes": []} for _ in range(n_cam)
         ]
@@ -163,26 +198,36 @@ class MultiCamCountingPipeline:
         import pandas as pd
 
         for i, cam in enumerate(cam_names):
-            csv_path = os.path.join(base.saved_path, cam + ".csv")
-            counters[i].run(
-                rows[i]["frames"], rows[i]["tracks"], rows[i]["labels"],
-                np.asarray(rows[i]["boxes"]) if rows[i]["boxes"] else np.zeros((0, 4)),
-                output_path=csv_path,
-            )
-            df = pd.read_csv(csv_path)
-            counts = (
-                {k: v.tolist() for k, v in count_directions(df, base.num_classes).items()}
-                if len(df)
-                else {}
-            )
-            if visualize:
-                from vehicle_counting_tpu.counting.visualize import visualize_merged
+            # per-camera fault isolation, same contract as the serial loop
+            # (pipeline/__init__.py — SURVEY.md §5 failure handling): one
+            # camera's bad zone file / render error doesn't sink its group
+            try:
+                if counter_errors[i] is not None:
+                    raise counter_errors[i]
+                csv_path = os.path.join(base.saved_path, cam + ".csv")
+                counters[i].run(
+                    rows[i]["frames"], rows[i]["tracks"], rows[i]["labels"],
+                    np.asarray(rows[i]["boxes"]) if rows[i]["boxes"] else np.zeros((0, 4)),
+                    output_path=csv_path,
+                )
+                df = pd.read_csv(csv_path)
+                counts = (
+                    {k: v.tolist() for k, v in count_directions(df, base.num_classes).items()}
+                    if len(df)
+                    else {}
+                )
+                if visualize:
+                    from vehicle_counting_tpu.counting.visualize import visualize_merged
 
-                readers[i].reinitialize_stream()
-                writer = VideoWriter(infos[i], os.path.join(base.saved_path, cam + ".mp4"))
-                visualize_merged(readers[i], csv_path, counters[i].directions,
-                                 counters[i].polygons, base.num_classes, writer)
-                writer.release()
-            readers[i].release()
-            results.append({"csv": csv_path, "counts": counts, "camera": cam})
+                    readers[i].reinitialize_stream()
+                    writer = VideoWriter(infos[i], os.path.join(base.saved_path, cam + ".mp4"))
+                    visualize_merged(readers[i], csv_path, counters[i].directions,
+                                     counters[i].polygons, base.num_classes, writer)
+                    writer.release()
+                results.append({"csv": csv_path, "counts": counts, "camera": cam})
+            except Exception as e:
+                results.append({"csv": None, "error": str(e), "camera": cam,
+                                "video": readers[i].video_path})
+            finally:
+                readers[i].release()
         return results
