@@ -51,6 +51,9 @@ _SLOW = {
     ("test_multicam_pipeline.py", "test_run_cli_multicam"),
     ("test_multicam_pipeline.py", "test_multicam_per_camera_fault_isolation"),
     ("test_multicam_pipeline.py", "test_multicam_mixed_geometry_groups"),
+    ("test_framedp.py", "test_framedp_matches_chained_small_batches"),
+    ("test_framedp.py", "test_frame_parallel_pipeline_csv_matches_serial"),
+    ("test_framedp.py", "test_frame_parallel_detect_only_csv"),
     ("test_pipeline_e2e.py", "test_pipeline_end_to_end"),
     ("test_serving.py", "test_pipeline_step_export_matches_live"),
     ("test_serving.py", "test_multicam_export_roundtrip"),

@@ -262,6 +262,31 @@ class CountingPipeline:
             (info["height"], info["width"]), net_hw
         )
 
+        # frame-parallel single-camera scale-out (config `frame_parallel`):
+        # shard the batch's frames over ALL devices for the detect+embed
+        # stages, tracker scan replicated on the gathered results
+        # (parallel/frames.py). No-op on one device.
+        fp_step = None
+        if self.config.frame_parallel:
+            n_dev = len(jax.devices())
+            if n_dev > 1 and self.batch_size % n_dev == 0:
+                from vehicle_counting_tpu.parallel.frames import make_framedp_step
+                from vehicle_counting_tpu.parallel.mesh import make_mesh
+
+                fp_step = make_framedp_step(
+                    make_mesh(None, axis_names=("frame",)),
+                    ycfg=self.ycfg, hp=hp, image_size=net_hw,
+                    src_hw=(info["height"], info["width"]),
+                    conf_thres=self.conf_thres, iou_thres=self.iou_thres,
+                    max_det=self.max_det, dtype=self.dtype,
+                    frames_format="letterboxed_yuv420" if thin else "raw_rgb",
+                )
+            elif n_dev > 1:
+                print(
+                    f"[pipeline] frame_parallel skipped: detect_batch "
+                    f"{self.batch_size} not divisible by {n_dev} devices"
+                )
+
         it = reader.batches()
 
         def fetch():
@@ -315,15 +340,21 @@ class CountingPipeline:
         with profile_ctx:
             for fdev, frame_ids, valid in prefetch(fetch, prep):
                 with timer.stage("dispatch"):
-                    states, det, touts = step_mod.pipeline_batch_step(
-                        self.yolo_params, self.reid_params, self.reid_stats, states,
-                        fdev, jnp.asarray(valid), self.class_lut,
-                        ycfg=self.ycfg, hp=hp,
-                        image_size=net_hw, src_hw=(info["height"], info["width"]),
-                        conf_thres=self.conf_thres, iou_thres=self.iou_thres,
-                        max_det=self.max_det, dtype=self.dtype,
-                        frames_format="letterboxed_yuv420" if thin else "raw_rgb",
-                    )
+                    if fp_step is not None:
+                        states, det, touts = fp_step(
+                            self.yolo_params, self.reid_params, self.reid_stats,
+                            self.class_lut, states, fdev, jnp.asarray(valid),
+                        )
+                    else:
+                        states, det, touts = step_mod.pipeline_batch_step(
+                            self.yolo_params, self.reid_params, self.reid_stats, states,
+                            fdev, jnp.asarray(valid), self.class_lut,
+                            ycfg=self.ycfg, hp=hp,
+                            image_size=net_hw, src_hw=(info["height"], info["width"]),
+                            conf_thres=self.conf_thres, iou_thres=self.iou_thres,
+                            max_det=self.max_det, dtype=self.dtype,
+                            frames_format="letterboxed_yuv420" if thin else "raw_rgb",
+                        )
                 if pending is not None:
                     drain(pending)
                 pending = (touts, frame_ids, valid)
@@ -388,6 +419,29 @@ class CountingPipeline:
         src_hw = (info["height"], info["width"])
         net_hw = self.net_hw(src_hw)
         content_only = content_upload_exact(src_hw, net_hw)
+
+        # frame-parallel detect-only: detection is a pure per-frame map, so
+        # uploading the batch frame-sharded lets GSPMD partition the jitted
+        # detect step over all devices — no shard_map needed (the multichip
+        # dryrun step 3 proves this lowering at the flagship geometry)
+        fp_shard = None
+        if self.config.frame_parallel:
+            import jax
+
+            n_dev = len(jax.devices())
+            if n_dev > 1 and self.batch_size % n_dev == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from vehicle_counting_tpu.parallel.mesh import make_mesh
+
+                fp_shard = NamedSharding(
+                    make_mesh(None, axis_names=("frame",)), P("frame")
+                )
+            elif n_dev > 1:
+                print(
+                    f"[pipeline] frame_parallel skipped: detect_batch "
+                    f"{self.batch_size} not divisible by {n_dev} devices"
+                )
         rows = {k: [] for k in ("frame_id", "x1", "y1", "x2", "y2", "score", "label")}
         lut = np.asarray(self.class_lut)
         num_frames = 0
@@ -401,6 +455,10 @@ class CountingPipeline:
         def prep(batch):
             frames, frame_ids, valid = batch
             yuv = host_letterbox_yuv420(frames, net_hw, content_only=content_only)
+            if fp_shard is not None:
+                import jax
+
+                return jax.device_put(yuv, fp_shard), frame_ids, valid
             return parallel_device_put(yuv), frame_ids, valid
 
         def drain(pending_):

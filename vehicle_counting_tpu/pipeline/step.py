@@ -86,19 +86,11 @@ def detect_only_step(
     return out
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "ycfg", "hp", "image_size", "src_hw",
-        "max_det", "dtype", "frames_format",
-    ),
-)
-def pipeline_batch_step(
+def detect_embed_core(
     yolo_params,
     reid_params,
     reid_stats,
-    states,
-    frames: jax.Array,       # [B, H, W, 3] uint8 RGB
+    frames: jax.Array,       # [B, H, W, 3] uint8 RGB (or thin-upload encodings)
     frame_valid: jax.Array,  # [B] bool (tail padding of the last batch)
     class_lut: jax.Array,    # [nc] i32: detector class -> tracked class (-1 drops)
     *,
@@ -112,16 +104,13 @@ def pipeline_batch_step(
     dtype=jnp.bfloat16,
     frames_format: str = "raw_rgb",
 ):
-    """Returns (new_states, det dict [B, max_det], track TrackerOutputs [B, C, K]).
+    """The FRAME-INDEPENDENT front of the fused step: pixels -> YOLOv5 ->
+    decode/NMS/restore -> class map -> ReID embed. Returns (det, feats).
 
-    frames_format selects the upload encoding (ops/letterbox.py thin-upload
-    helpers); box coordinates stay in source pixels in every mode:
-      raw_rgb           - [B, H, W, 3] full-res uint8; letterbox on device.
-      letterboxed_rgb   - [B, dh, dw, 3] host-letterboxed uint8 (~2.2x less
-                          transfer at 720p); ReID crops come from the
-                          letterboxed frame via the (gain, pad) transform.
-      letterboxed_yuv420- [B, dh*3/2, dw] host-letterboxed planar I420
-                          (another 2x less; video sources are 4:2:0 anyway).
+    Every output is per-frame with no cross-frame coupling (detection and
+    per-crop ReID embeddings do not depend on which frames share the batch),
+    which is what lets parallel/frames.py shard this part over a mesh 'frame'
+    axis while the recurrent tracker scan consumes the gathered results.
     """
     from vehicle_counting_tpu.ops.letterbox import (
         letterbox_params,
@@ -202,17 +191,78 @@ def pipeline_batch_step(
         crop_source, det["boxes"], det_valid,
         reid_params, reid_stats, hp, dtype=dtype, planar=planar, **crop_kw,
     )  # [B, N, F]
+    det["classes"] = mapped
+    det["valid"] = det_valid
+    return det, feats
+
+
+# frame-scan unroll factor (trace-time; stage_bench A/B knob). The r3 steady
+# tracker trace showed ~26 us/frame of scan control + inter-iteration gaps
+# (device self 138 vs 164 wall at B=128); unrolling the scan body trades
+# compile time for fewer loop boundaries. Default 1 until measured on-chip.
+_SCAN_UNROLL = int(os.environ.get("VCT_SCAN_UNROLL", "1"))
+
+
+def tracker_scan(states, det, feats, *, hp: DeepSortParams, src_hw: Tuple[int, int]):
+    """The frame-RECURRENT back of the fused step: per-frame DeepSORT scan
+    over the batch. Consumes detect_embed_core's outputs in frame order."""
 
     def body(states_, inp):
         f, boxes, scores, classes, valid = inp
         states_, out = deepsort_frame_core(
-            states_, f, boxes, scores, classes, valid, hp, out_hw
+            states_, f, boxes, scores, classes, valid, hp, src_hw
         )
         return states_, out
 
-    new_states, track_outs = jax.lax.scan(
-        body, states, (feats, det["boxes"], det["scores"], mapped, det_valid)
+    return jax.lax.scan(
+        body, states,
+        (feats, det["boxes"], det["scores"], det["classes"], det["valid"]),
+        unroll=_SCAN_UNROLL,
     )
-    det["classes"] = mapped
-    det["valid"] = det_valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "ycfg", "hp", "image_size", "src_hw",
+        "max_det", "dtype", "frames_format",
+    ),
+)
+def pipeline_batch_step(
+    yolo_params,
+    reid_params,
+    reid_stats,
+    states,
+    frames: jax.Array,       # [B, H, W, 3] uint8 RGB
+    frame_valid: jax.Array,  # [B] bool (tail padding of the last batch)
+    class_lut: jax.Array,    # [nc] i32: detector class -> tracked class (-1 drops)
+    *,
+    ycfg: YoloConfig,
+    hp: DeepSortParams,
+    image_size: Tuple[int, int],
+    src_hw: Tuple[int, int],
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    dtype=jnp.bfloat16,
+    frames_format: str = "raw_rgb",
+):
+    """Returns (new_states, det dict [B, max_det], track TrackerOutputs [B, C, K]).
+
+    frames_format selects the upload encoding (ops/letterbox.py thin-upload
+    helpers); box coordinates stay in source pixels in every mode:
+      raw_rgb           - [B, H, W, 3] full-res uint8; letterbox on device.
+      letterboxed_rgb   - [B, dh, dw, 3] host-letterboxed uint8 (~2.2x less
+                          transfer at 720p); ReID crops come from the
+                          letterboxed frame via the (gain, pad) transform.
+      letterboxed_yuv420- [B, dh*3/2, dw] host-letterboxed planar I420
+                          (another 2x less; video sources are 4:2:0 anyway).
+    """
+    det, feats = detect_embed_core(
+        yolo_params, reid_params, reid_stats, frames, frame_valid, class_lut,
+        ycfg=ycfg, hp=hp, image_size=image_size, src_hw=src_hw,
+        conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
+        dtype=dtype, frames_format=frames_format,
+    )
+    new_states, track_outs = tracker_scan(states, det, feats, hp=hp, src_hw=src_hw)
     return new_states, det, track_outs
