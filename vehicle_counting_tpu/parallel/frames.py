@@ -110,4 +110,8 @@ def make_framedp_step(
             frame_valid,
         )
 
+    # the raw jit, for AOT export (serving/artifact.py) — jax.export wants
+    # the jitted callable, not the shape-checking wrapper
+    step.jitted = jitted
+    step.mesh = mesh
     return step

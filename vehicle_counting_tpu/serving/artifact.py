@@ -366,6 +366,73 @@ def export_multicam_step(
     return jexport.export(step, **kw)(*args)
 
 
+def export_framedp_step(
+    yolo_params,
+    reid_params,
+    reid_stats,
+    *,
+    ycfg,
+    hp,
+    batch: int,
+    image_size: Tuple[int, int],
+    src_hw: Tuple[int, int],
+    devices: Optional[Sequence[Any]] = None,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    dtype=jnp.bfloat16,
+    frames_format: str = "letterboxed_yuv420",
+    content_only: bool = True,
+    platforms: Optional[Sequence[str]] = None,
+):
+    """Export the frame-parallel single-camera step (parallel/frames.py).
+
+    Calling convention (same as make_framedp_step's jit):
+
+        framedp_step(yolo_params, reid_params, reid_stats, class_lut,
+                     states, frames, frame_valid)
+            -> (new_states, det, track_outs)
+
+    frames [batch, ...] / frame_valid [batch] shard over the mesh 'frame'
+    axis; params and tracker states are replicated. The artifact records
+    nr_devices; batch must be divisible by it.
+    """
+    from jax import export as jexport
+    from jax.sharding import Mesh
+
+    from vehicle_counting_tpu.parallel.frames import make_framedp_step
+    from vehicle_counting_tpu.tracking.deepsort import init_states
+
+    _register_pytrees()
+    devs = list(devices) if devices is not None else list(jax.devices())
+    if batch % len(devs):
+        raise ValueError(f"batch={batch} not divisible by {len(devs)} devices")
+    mesh = Mesh(np.array(devs), ("frame",))
+    step = make_framedp_step(
+        mesh, ycfg=ycfg, hp=hp, image_size=image_size, src_hw=src_hw,
+        conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
+        dtype=dtype, frames_format=frames_format,
+    )
+    frames_shape = serving_frames_shape(
+        frames_format, batch, src_hw, image_size, content_only
+    )
+    states_one = jax.eval_shape(lambda: init_states(hp))
+    states_sds = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), states_one
+    )
+    args = (
+        _shape_structs(yolo_params),
+        _shape_structs(reid_params),
+        _shape_structs(reid_stats),
+        jax.ShapeDtypeStruct((ycfg.num_classes,), jnp.int32),
+        states_sds,
+        jax.ShapeDtypeStruct(frames_shape, jnp.uint8),
+        jax.ShapeDtypeStruct((batch,), jnp.bool_),
+    )
+    kw = {} if platforms is None else {"platforms": list(platforms)}
+    return jexport.export(step.jitted, **kw)(*args)
+
+
 # ---------------------------------------------------------------------------
 # artifact save / load
 # ---------------------------------------------------------------------------
