@@ -36,7 +36,17 @@ parser.add_argument("--multicam", action="store_true",
                          "device mesh (same CSV/MP4 artifacts). Videos are grouped by "
                          "(frame geometry, per-camera tracking_config); each group runs "
                          "as one compiled program, so every camera keeps its own "
-                         "cam_configs.yaml DeepSORT params.")
+                         "cam_configs.yaml DeepSORT params. Incompatible with "
+                         "--detect_only (use --frame_parallel to scale detection).")
+parser.add_argument("--frame_parallel", action="store_true",
+                    help="shard each batch's frames over ALL devices for the "
+                         "frame-independent detect+embed stages (parallel/frames.py; "
+                         "the recurrent tracker scan runs replicated). Single-camera "
+                         "scale-out; requires detect_batch %% n_devices == 0. Note: in "
+                         "the default bfloat16 config, detections whose score sits "
+                         "within ~1e-3 of the confidence/NMS thresholds may flip vs "
+                         "the serial program (batch-extent reassociation); float32 "
+                         "compute_dtype guarantees identical discrete outputs.")
 
 
 def main(args, config, cam_config):
@@ -44,6 +54,28 @@ def main(args, config, cam_config):
     from vehicle_counting_tpu.pipeline import CountingPipeline
 
     args.mapping_dict = COCO_VEHICLE_MAPPING if args.mapping == "coco" else None
+
+    if getattr(args, "multicam", False) and args.detect_only:
+        # fail loudly instead of silently falling through to the serial
+        # detect-only loop: the user asked for camera sharding and would
+        # otherwise never learn the flag was ignored
+        raise SystemExit(
+            "--multicam is incompatible with --detect_only (camera sharding "
+            "drives the full detect+track step). For multi-device detection "
+            "use --frame_parallel instead."
+        )
+    if getattr(args, "frame_parallel", False):
+        config.frame_parallel = True
+        import jax
+
+        n_dev = len(jax.devices())
+        batch = int(config.detect_batch or 8)
+        if n_dev > 1 and batch % n_dev:
+            raise SystemExit(
+                f"--frame_parallel requires detect_batch ({batch}) divisible "
+                f"by the device count ({n_dev}); set detect_batch in "
+                f"configs.yaml accordingly."
+            )
 
     print(config)
     if getattr(args, "multicam", False) and not args.detect_only:

@@ -252,12 +252,19 @@ def test_yolo_preds_of_absent_class_are_dropped():
 
 
 def test_yolo_regression_pin_randomized():
-    """Pinned values on a fixed randomized scenario: any future edit to the
-    v6.0 transcription that changes semantics fails loudly here."""
+    """HARD-CODED values on a fixed randomized scenario: any future edit to
+    the v6.0 transcription that changes semantics fails loudly here. The
+    expected numbers were computed once and frozen (and independently
+    reproduced by tests/oracle_yolov5_val.py — see
+    tests/test_yolov5_val_oracle.py for the randomized differential)."""
     rng = np.random.default_rng(7)
     preds, gts = _scenario(rng, n_images=5)
     got = evaluate_yolov5_v6(preds, gts)
-    assert 0.0 < got["mAP50_95"] <= got["mAP50"] <= 1.0
-    ref = evaluate_yolov5_v6(preds, gts)
-    for k in got:
-        assert got[k] == ref[k]  # deterministic
+    want = {
+        "precision": 0.16837437033438193,
+        "recall": 0.14907407407407405,
+        "mAP50": 0.05376068376068376,
+        "mAP50_95": 0.014108262108262107,
+    }
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-12), k

@@ -317,3 +317,36 @@ def test_run_cli_multicam(two_cams, tmp_path, monkeypatch):
     assert len(results) == 2
     for r in results:
         assert os.path.exists(r["csv"])
+
+
+def _load_run_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "vct_run_cli_flags", os.path.join(os.path.dirname(__file__), "..", "run.py"))
+    run_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_mod)
+    return run_mod
+
+
+def test_run_cli_multicam_detect_only_rejected(tmp_path):
+    """--multicam with --detect_only must fail LOUDLY (it used to fall
+    silently through to the serial detect-only loop)."""
+    run_mod = _load_run_module()
+    args = run_mod.parser.parse_args(
+        ["--input_path", str(tmp_path), "--output_path", str(tmp_path),
+         "--multicam", "--detect_only"])
+    with pytest.raises(SystemExit, match="incompatible"):
+        run_mod.main(args, default_config(), default_cam_config())
+
+
+def test_run_cli_frame_parallel_batch_divisibility_enforced(tmp_path):
+    """--frame_parallel errors early when detect_batch is not divisible by
+    the device count (8-device CPU mesh here, detect_batch=6)."""
+    run_mod = _load_run_module()
+    cfg = config_from_dict(default_config(), {"detect_batch": 6})
+    args = run_mod.parser.parse_args(
+        ["--input_path", str(tmp_path), "--output_path", str(tmp_path),
+         "--frame_parallel"])
+    with pytest.raises(SystemExit, match="divisible"):
+        run_mod.main(args, cfg, default_cam_config())

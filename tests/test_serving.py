@@ -234,6 +234,52 @@ def test_multicam_export_roundtrip(tiny, tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
+def test_framedp_export_roundtrip(tiny, tmp_path, rng):
+    """The frame-parallel single-camera step survives serialize ->
+    deserialize and reproduces the live shard_map program on a 4-device
+    mesh (mirror of test_multicam_export_roundtrip for parallel/frames.py)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vehicle_counting_tpu.parallel.frames import make_framedp_step
+    from vehicle_counting_tpu.serving import export_framedp_step
+
+    ycfg, yolo_params, reid_params, reid_stats, hp, lut = tiny
+    b = 4
+    devs = jax.devices()[:4]
+    kw = dict(ycfg=ycfg, hp=hp, image_size=NET_HW, src_hw=SRC_HW,
+              conf_thres=0.0, max_det=16, frames_format="letterboxed_yuv420")
+    exp = export_framedp_step(
+        yolo_params, reid_params, reid_stats, batch=b, devices=devs, **kw)
+    exp2 = jax.export.deserialize(exp.serialize())
+    assert exp2.nr_devices == 4
+
+    mesh = Mesh(np.array(devs), ("frame",))
+    fr_s = NamedSharding(mesh, P("frame"))
+    repl = NamedSharding(mesh, P())
+    frames = np.asarray(_frames(rng, b))
+    valid = np.ones((b,), bool)
+    states = init_states(hp)
+
+    live = make_framedp_step(mesh, **kw)
+    live_states, live_det, live_touts = live(
+        yolo_params, reid_params, reid_stats, lut,
+        jax.device_put(states, repl), jax.device_put(frames, fr_s),
+        jax.device_put(valid, fr_s))
+
+    got_states, got_det, got_touts = exp2.call(
+        jax.device_put(yolo_params, repl), jax.device_put(reid_params, repl),
+        jax.device_put(reid_stats, repl), jax.device_put(lut, repl),
+        jax.device_put(states, repl), jax.device_put(frames, fr_s),
+        jax.device_put(valid, fr_s))
+
+    for a, c in zip(jax.tree.leaves(live_det), jax.tree.leaves(got_det)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    for a, c in zip(jax.tree.leaves(live_touts), jax.tree.leaves(got_touts)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    for a, c in zip(jax.tree.leaves(live_states), jax.tree.leaves(got_states)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_cli_export_and_smoke(tmp_path, capsys):
     from vehicle_counting_tpu.serving.cli import main
 

@@ -219,6 +219,12 @@ def evaluate_yolov5_v6(
     pred_cls = np.concatenate(pcls_all) if pcls_all else np.zeros(0, np.int64)
     target_cls = np.concatenate(tcls_all) if tcls_all else np.zeros(0, np.int64)
 
+    if not tp.any():
+        # val.py computes metrics only `if len(stats) and stats[0].any()`:
+        # a run with ZERO true positives reports all-zero metrics without
+        # entering ap_per_class (upstream v6.0 val.py stats fallback)
+        return {"precision": 0.0, "recall": 0.0, "mAP50": 0.0, "mAP50_95": 0.0}
+
     # metrics.ap_per_class (v6.0), transcription with a stable sort for
     # deterministic score ties (upstream uses default quicksort; order of
     # equal scores is unspecified there)

@@ -12,6 +12,7 @@ selects).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -24,6 +25,11 @@ from vehicle_counting_tpu.pipeline.step import pipeline_batch_step
 from vehicle_counting_tpu.tracking.deepsort import DeepSortParams
 
 
+# memoized: multicam_batch_step runs once per batch in the multicam drive
+# loop; a fresh shard_map+jit wrapper per batch would RETRACE the whole
+# flagship program every batch (jit caches are keyed on function identity —
+# measured seconds/batch of pure host retrace before this cache)
+@functools.lru_cache(maxsize=32)
 def make_multicam_step(
     mesh: Mesh,
     *,

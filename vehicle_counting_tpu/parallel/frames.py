@@ -33,6 +33,7 @@ same dials as changing detect_batch on one device, not sharding artifacts.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -47,6 +48,10 @@ from vehicle_counting_tpu.tracking.deepsort import DeepSortParams
 AXIS = "frame"
 
 
+# memoized: callers construct the step per video/batch loop; a fresh
+# shard_map+jit wrapper per call would retrace the whole program each time
+# (jit caches are keyed on function identity)
+@functools.lru_cache(maxsize=32)
 def make_framedp_step(
     mesh: Mesh,
     *,

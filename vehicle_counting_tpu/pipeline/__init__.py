@@ -267,9 +267,12 @@ class CountingPipeline:
         # stages, tracker scan replicated on the gathered results
         # (parallel/frames.py). No-op on one device.
         fp_step = None
+        fp_shard = None
         if self.config.frame_parallel:
             n_dev = len(jax.devices())
             if n_dev > 1 and self.batch_size % n_dev == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
                 from vehicle_counting_tpu.parallel.frames import make_framedp_step
                 from vehicle_counting_tpu.parallel.mesh import make_mesh
 
@@ -281,6 +284,11 @@ class CountingPipeline:
                     max_det=self.max_det, dtype=self.dtype,
                     frames_format="letterboxed_yuv420" if thin else "raw_rgb",
                 )
+                # upload frames already sharded over the 'frame' axis: a
+                # default-device put would commit the full pixel batch to one
+                # device and the shard_map jit would then reshard it — an
+                # extra copy through the bottleneck host->device link
+                fp_shard = NamedSharding(fp_step.mesh, P("frame"))
             elif n_dev > 1:
                 print(
                     f"[pipeline] frame_parallel skipped: detect_batch "
@@ -304,7 +312,10 @@ class CountingPipeline:
                         frames, net_hw, content_only=content_only
                     )
             with timer.stage("upload"):
-                fdev = parallel_device_put(frames)
+                if fp_shard is not None:
+                    fdev = jax.device_put(frames, fp_shard)
+                else:
+                    fdev = parallel_device_put(frames)
             return fdev, frame_ids, valid
 
         def drain(pending):
@@ -320,11 +331,12 @@ class CountingPipeline:
                     f"non-finite track boxes in batch at frame {frame_ids[0]}"
                 )
             num_frames += int(valid.sum())
-            for b, c, k in zip(*np.nonzero(mask)):
-                rows["frames"].append(int(frame_ids[b]))
-                rows["tracks"].append(int(ids[b, c, k]))
-                rows["labels"].append(int(c))
-                rows["boxes"].append(boxes[b, c, k])
+            b, c, k = np.nonzero(mask)
+            if b.size:
+                rows["frames"].extend(np.asarray(frame_ids)[b].tolist())
+                rows["tracks"].extend(ids[b, c, k].tolist())
+                rows["labels"].extend(c.tolist())
+                rows["boxes"].extend(boxes[b, c, k])
 
         # prefetch pipeline: host letterbox + upload run one batch ahead in a
         # thread; readback lags one batch — decode/prep/transfer/compute/

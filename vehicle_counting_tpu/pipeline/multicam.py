@@ -59,10 +59,26 @@ class MultiCamCountingPipeline:
             key = ((info["height"], info["width"]), base._cam_params(cam_names[i]))
             groups.setdefault(key, []).append(i)
         for (_, hp), idxs in groups.items():
-            group_res = self._run_group(
-                [readers[i] for i in idxs], [cam_names[i] for i in idxs],
-                hp, visualize=visualize,
-            )
+            try:
+                group_res = self._run_group(
+                    [readers[i] for i in idxs], [cam_names[i] for i in idxs],
+                    hp, visualize=visualize,
+                )
+            except Exception as e:
+                # group-level fault isolation: a failure inside one group's
+                # compute loop (decode/letterbox error surfacing via the
+                # producer future, a device fault) must not sink the other
+                # groups; record per-camera errors and release the readers
+                group_res = [
+                    {"csv": None, "error": str(e), "camera": cam_names[i],
+                     "video": readers[i].video_path}
+                    for i in idxs
+                ]
+                for i in idxs:
+                    try:
+                        readers[i].release()
+                    except Exception:
+                        pass
             for i, res in zip(idxs, group_res):
                 results[i] = res
         return results
@@ -161,12 +177,17 @@ class MultiCamCountingPipeline:
             mask = np.asarray(touts.mask)   # [total, B, C, K]
             tids = np.asarray(touts.ids)
             boxes = np.asarray(touts.boxes)
+            # vectorized per camera: one nonzero + fancy-index per batch
+            # instead of a Python loop per track row (matters at high
+            # camera counts where the drain runs on the host critical path)
             for i in range(n_cam):
-                for bb, c, k in zip(*np.nonzero(mask[i])):
-                    rows[i]["frames"].append(int(ids[i, bb]))
-                    rows[i]["tracks"].append(int(tids[i, bb, c, k]))
-                    rows[i]["labels"].append(int(c))
-                    rows[i]["boxes"].append(boxes[i, bb, c, k])
+                bb, c, k = np.nonzero(mask[i])
+                if not bb.size:
+                    continue
+                rows[i]["frames"].extend(ids[i, bb].tolist())
+                rows[i]["tracks"].extend(tids[i, bb, c, k].tolist())
+                rows[i]["labels"].extend(c.tolist())
+                rows[i]["boxes"].extend(boxes[i, bb, c, k])
 
         pool = ThreadPoolExecutor(max_workers=1)
         pending = None

@@ -11,6 +11,7 @@ from vehicle_counting_tpu.serving.artifact import (  # noqa: F401
     FORMAT_VERSION,
     ServingArtifact,
     export_detect_step,
+    export_framedp_step,
     export_multicam_step,
     export_pipeline_step,
     load_weights_bundle,
@@ -23,6 +24,7 @@ __all__ = [
     "FORMAT_VERSION",
     "ServingArtifact",
     "export_detect_step",
+    "export_framedp_step",
     "export_multicam_step",
     "export_pipeline_step",
     "load_weights_bundle",

@@ -590,6 +590,21 @@ class ServingArtifact:
     def call(self, name: str, *args):
         return self._exported[name].call(*args)
 
+    def jitted(self, name: str):
+        """The exported function wrapped in ONE persistent jax.jit.
+
+        `Exported.call` re-traces the deserialized program on every
+        invocation (measured ~seconds per call); serving loops must reuse
+        a single jit wrapper so repeat calls hit the C++ fast path. The
+        wrapper is cached per function name.
+        """
+        cache = self.__dict__.setdefault("_jitted", {})
+        if name not in cache:
+            import jax
+
+            cache[name] = jax.jit(self._exported[name].call)
+        return cache[name]
+
     def pipeline_step(self, yolo_params, reid_params, reid_stats, states,
                       frames, frame_valid, class_lut):
         return self.call("pipeline_step", yolo_params, reid_params, reid_stats,
@@ -600,12 +615,15 @@ class ServingArtifact:
 
     def bound_pipeline_step(self):
         """Self-contained closure over bundled weights + class_lut:
-        step(states, frames, frame_valid) -> (new_states, det, track_outs)."""
+        step(states, frames, frame_valid) -> (new_states, det, track_outs).
+        Uses the persistent jit wrapper so chained serving calls don't
+        re-trace the deserialized program each time."""
         w = self.load_weights()
         lut = self.class_lut()
+        fn = self.jitted("pipeline_step")
 
         def step(states, frames, frame_valid):
-            return self.pipeline_step(
+            return fn(
                 w["yolo"], w["reid"], w["reid_stats"], states, frames,
                 frame_valid, lut,
             )

@@ -8,6 +8,13 @@
     # load it back and run random batches through the exported program
     python -m vehicle_counting_tpu.serving.cli smoke --artifact /tmp/art
 
+    # FRESH-process validation: rebuild the live jit from the artifact's
+    # own config+weights, run chained seeded batches through BOTH the live
+    # jit and the exported program, assert array-equality, and report the
+    # amortized per-batch dispatch time of each (run this in a separate
+    # process from the export to prove the deployment contract end to end)
+    python -m vehicle_counting_tpu.serving.cli verify --artifact /tmp/art
+
 Weight resolution matches run.py/CountingPipeline (download cache, random
 init fallback when no egress), so artifacts built on the egress runbook's
 converted checkpoints are the production path and random-init artifacts
@@ -193,6 +200,118 @@ def cmd_smoke(args) -> None:
         }))
 
 
+def cmd_verify(args) -> None:
+    """Fresh-process artifact validation vs the live jit (VERDICT r4 #1).
+
+    Loads the artifact (deserialized StableHLO), reconstructs the LIVE
+    jitted pipeline step from the manifest's static config and the bundled
+    weights, then runs `--batches` chained seeded batches through both,
+    asserting ARRAY-EQUALITY of every output (det, track outs, final
+    states) and timing each path (chained dispatches, one readback per
+    chain — the amortized per-batch dispatch cost, tunnel floor excluded).
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vehicle_counting_tpu.pipeline.step import pipeline_batch_step
+    from vehicle_counting_tpu.serving.artifact import (
+        ServingArtifact,
+        serving_frames_shape,
+    )
+
+    art = ServingArtifact.load(args.artifact)
+    cfg = art.manifest["config"]
+    w = art.load_weights()
+    lut = art.class_lut()
+    hp = art.hp
+    ycfg = art.ycfg
+    dtype = jnp.dtype(cfg["dtype"])
+    kw = dict(
+        ycfg=ycfg, hp=hp,
+        image_size=tuple(cfg["image_size"]), src_hw=tuple(cfg["src_hw"]),
+        conf_thres=cfg["conf_thres"], iou_thres=cfg["iou_thres"],
+        max_det=cfg["max_det"], dtype=dtype,
+        frames_format=cfg["frames_format"],
+    )
+    b = cfg["batch"]
+    fshape = serving_frames_shape(
+        cfg["frames_format"], b, tuple(cfg["src_hw"]), tuple(cfg["image_size"])
+    )
+    rng = np.random.default_rng(args.seed)
+    batches = [
+        jnp.asarray(rng.integers(0, 255, fshape, np.uint8))
+        for _ in range(args.batches)
+    ]
+    valid = jnp.ones((b,), bool)
+
+    def live(states, frames):
+        return pipeline_batch_step(
+            w["yolo"], w["reid"], w["reid_stats"], states, frames, valid,
+            lut, **kw)
+
+    art_step = art.jitted("pipeline_step")
+
+    def exported(states, frames):
+        return art_step(
+            w["yolo"], w["reid"], w["reid_stats"], states, frames, valid,
+            lut)
+
+    def run_chain(step):
+        # pass 1 (collect outputs; includes compile + the chained-state
+        # retrace — exported calls retrace once more when the carried
+        # states switch from host-built to program-output layouts)
+        states = art.init_states()
+        outs = []
+        t0 = time.perf_counter()
+        for fr in batches:
+            states, det, touts = step(states, fr)
+            outs.append((det, touts))
+        np.asarray(touts.mask)  # axon: only readback truly syncs
+        first_pass_s = time.perf_counter() - t0
+        # pass 2: fully-warm steady-state timing of the same chain
+        states2 = art.init_states()
+        t0 = time.perf_counter()
+        for fr in batches:
+            states2, det2, touts2 = step(states2, fr)
+        np.asarray(touts2.mask)
+        steady_s = time.perf_counter() - t0
+        return states, outs, first_pass_s, steady_s
+
+    s_live, o_live, c_live, t_live = run_chain(live)
+    s_art, o_art, c_art, t_art = run_chain(exported)
+
+    mismatches = 0
+    for i, ((dl, tl), (da, ta)) in enumerate(zip(o_live, o_art)):
+        for x, y in zip(jax.tree.leaves((dl, tl)), jax.tree.leaves((da, ta))):
+            if not np.array_equal(np.asarray(x), np.asarray(y)):
+                mismatches += 1
+    for x, y in zip(jax.tree.leaves(s_live), jax.tree.leaves(s_art)):
+        if not np.array_equal(np.asarray(x), np.asarray(y)):
+            mismatches += 1
+
+    report = {
+        "verify": "pipeline_step",
+        "backend": jax.default_backend(),
+        "kernel_modes": art.manifest.get("kernel_modes", {}),
+        "batches": args.batches,
+        "batch": b,
+        "bit_exact": mismatches == 0,
+        "mismatched_arrays": mismatches,
+        "live_first_pass_s": round(c_live, 3),
+        "artifact_first_pass_s": round(c_art, 3),
+        "live_ms_per_batch": round(1e3 * t_live / args.batches, 3),
+        "artifact_ms_per_batch": round(1e3 * t_art / args.batches, 3),
+        "live_ms_per_frame": round(1e3 * t_live / args.batches / b, 4),
+        "artifact_ms_per_frame": round(1e3 * t_art / args.batches / b, 4),
+    }
+    print(json.dumps(report))
+    if mismatches:
+        raise SystemExit(f"artifact outputs diverge from the live jit "
+                         f"({mismatches} arrays)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="vct-serving")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -219,6 +338,15 @@ def main(argv=None):
     ps.add_argument("--artifact", required=True)
     ps.add_argument("--batches", type=int, default=3)
     ps.set_defaults(fn=cmd_smoke)
+
+    pv = sub.add_parser(
+        "verify",
+        help="fresh-process check: exported program array-equal to the live "
+             "jit rebuilt from the artifact's config+weights, with timings")
+    pv.add_argument("--artifact", required=True)
+    pv.add_argument("--batches", type=int, default=8)
+    pv.add_argument("--seed", type=int, default=0)
+    pv.set_defaults(fn=cmd_verify)
 
     args = p.parse_args(argv)
     return args.fn(args)
