@@ -326,6 +326,10 @@ def main():
         feats_h /= np.linalg.norm(feats_h, axis=-1, keepdims=True)
         feats = jax.device_put(jnp.asarray(feats_h, jnp.float32))
 
+        # honor the pipeline's VCT_SCAN_UNROLL knob so the tracker stage
+        # A/Bs the same unroll the production scan would use
+        from vehicle_counting_tpu.pipeline.step import _SCAN_UNROLL
+
         @partial(jax.jit, static_argnames=("hp_",))
         def tracker_scan(states_, feats_, boxes_, scores_, classes_, valid_, hp_):
             def body(st, inp):
@@ -334,7 +338,8 @@ def main():
                 return st, o
 
             return jax.lax.scan(
-                body, states_, (feats_, boxes_, scores_, classes_, valid_)
+                body, states_, (feats_, boxes_, scores_, classes_, valid_),
+                unroll=_SCAN_UNROLL,
             )
 
         for name, seeds in (("tracker_churn", (5, 6)), ("tracker_steady", None)):

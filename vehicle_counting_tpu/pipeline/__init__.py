@@ -331,6 +331,7 @@ class CountingPipeline:
                     f"non-finite track boxes in batch at frame {frame_ids[0]}"
                 )
             num_frames += int(valid.sum())
+            self.frames_done = num_frames  # progress probe (benchmarks/soak.py)
             b, c, k = np.nonzero(mask)
             if b.size:
                 rows["frames"].extend(np.asarray(frame_ids)[b].tolist())

@@ -149,6 +149,16 @@ class MultiCamCountingPipeline:
             frame_shape = (total, b, h, w, 3)
             frames_format = "raw_rgb"
 
+        # upload frames pre-sharded over the 'cam' axis: a default-device
+        # put would commit every camera's pixels to one device and the
+        # shard_map jit would then reshard them — an extra full copy
+        # through the bottleneck host->device link (no-op at mesh size 1)
+        cam_shard = None
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            cam_shard = NamedSharding(mesh, P("cam"))
+
         def produce():
             """Decode all cameras' next batches (worker thread overlaps compute)."""
             frames = np.zeros(frame_shape, np.uint8)
@@ -168,6 +178,8 @@ class MultiCamCountingPipeline:
                     done[i] = True
             if not valid.any():
                 return None
+            if cam_shard is not None:
+                return jax.device_put(frames, cam_shard), ids, valid
             from vehicle_counting_tpu.utils.transfer import parallel_device_put
 
             return parallel_device_put(frames), ids, valid
