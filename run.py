@@ -65,6 +65,9 @@ def main(args, config, cam_config):
             "use --frame_parallel instead."
         )
     if getattr(args, "frame_parallel", False):
+        if getattr(args, "multicam", False):
+            print("[run] note: --frame_parallel is ignored in --multicam mode "
+                  "(the mesh is already sharded over cameras)")
         config.frame_parallel = True
         import jax
 

@@ -198,9 +198,13 @@ def detect_embed_core(
 
 # frame-scan unroll factor (trace-time; stage_bench A/B knob). The r3 steady
 # tracker trace showed ~26 us/frame of scan control + inter-iteration gaps
-# (device self 138 vs 164 wall at B=128); unrolling the scan body trades
-# compile time for fewer loop boundaries. Default 1 until measured on-chip.
-_SCAN_UNROLL = int(os.environ.get("VCT_SCAN_UNROLL", "1"))
+# (device self 138 vs 164 wall at B=128). Measured on v5e B=128 30-dets
+# (round 5): unroll=2 tracker churn/steady 0.128/0.167 -> 0.121/0.157
+# ms/frame (half the per-iteration loop boundaries; exactly the predicted
+# ~10 us/frame of the gap item) and skewed e2e 0.770 -> 0.767; unroll=4
+# gives it back (0.123/0.160 — bigger body, worse scheduling). Default 2.
+# Semantics-exact at any value (lax.scan unroll is pure restructuring).
+_SCAN_UNROLL = int(os.environ.get("VCT_SCAN_UNROLL", "2"))
 
 
 def tracker_scan(states, det, feats, *, hp: DeepSortParams, src_hw: Tuple[int, int]):

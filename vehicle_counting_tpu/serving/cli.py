@@ -222,6 +222,11 @@ def cmd_verify(args) -> None:
     )
 
     art = ServingArtifact.load(args.artifact)
+    if "pipeline_step" not in art.function_names:
+        raise SystemExit(
+            "verify needs a pipeline_step artifact with bundled weights "
+            f"(this one has {art.function_names}); re-export without "
+            "--detect_only/--no_bundle")
     cfg = art.manifest["config"]
     w = art.load_weights()
     lut = art.class_lut()
