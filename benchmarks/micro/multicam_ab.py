@@ -28,9 +28,13 @@ from __future__ import annotations
 import argparse
 import collections
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
 def main():

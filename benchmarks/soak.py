@@ -29,11 +29,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import threading
 import time
 import types
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def make_video(path: str, n_frames: int, h: int = 720, w: int = 1280,
