@@ -12,6 +12,13 @@ import os
 # run on a virtual multi-device CPU backend.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+# The production default VCT_SCAN_UNROLL=2 (a measured TPU win,
+# pipeline/step.py) roughly doubles every frame-scan COMPILE on the CPU
+# backend — it pushed the full suite from ~25 to >50 min. Unrolling is
+# semantics-exact (pure lax.scan restructuring), so tests pin unroll=1 for
+# compile speed; override with VCT_SCAN_UNROLL in the env to test 2.
+os.environ.setdefault("VCT_SCAN_UNROLL", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -172,6 +172,15 @@ def test_tracker_fused_cascade_integration(rng):
     def run():
         st = init_state(hp)
         outs = []
+        # FRESH jit wrapper per phase: the FORCE toggle is a trace-time
+        # dispatch, and the shared tracker_step jit cache would otherwise
+        # reuse the first phase's trace. A new jax.jit object has its own
+        # cache, so each phase traces once under its own toggle — and the
+        # 12 frames compile ONE program instead of 12 eager lax.cond
+        # programs (the eager form also segfaulted XLA:CPU's compiler
+        # deterministically after ~200 suite tests' worth of process state
+        # — round 5; jitting sidesteps it and is ~10x faster).
+        step = jax.jit(tracker_step.__wrapped__, static_argnames=("hp",))
         for _ in range(12):
             n = int(g.integers(0, 10))
             tlwh = np.zeros((16, 4), np.float32)
@@ -181,11 +190,10 @@ def test_tracker_fused_cascade_integration(rng):
             conf[:n] = g.uniform(0.3, 1, size=n)
             feat = g.normal(size=(16, 8)).astype(np.float32)
             valid = np.arange(16) < n
-            # unjitted call: the FORCE toggle is a trace-time dispatch, and
-            # the jit cache would otherwise reuse the first run's trace
-            st, out = tracker_step.__wrapped__(
+            st, out = step(
                 st, jnp.asarray(tlwh), jnp.asarray(conf), jnp.asarray(feat),
-                jnp.asarray(valid), hp, jnp.int32(200), jnp.int32(200),
+                jnp.asarray(valid), hp=hp, width=jnp.int32(200),
+                height=jnp.int32(200),
             )
             outs.append(jax.tree.map(np.asarray, out))
         return jax.tree.map(np.asarray, st), outs
