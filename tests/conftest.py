@@ -41,6 +41,26 @@ def rng():
     return np.random.default_rng(1702)
 
 
+# XLA:CPU's compiler segfaults (inside backend_compile_and_load) once a
+# single process has accumulated a few thousand compiled executables —
+# reproduced deterministically at ~test 210 of the full suite on the
+# 1-core round-5 box, in whichever compile-heavy test sits there
+# (cascade integration, then pallas_crops after that test was lightened).
+# Dropping the jit caches periodically releases the loaded executables and
+# keeps the process under the threshold; shared-program recompiles across
+# module boundaries cost far less than the suite's own per-module compiles.
+_TESTS_SINCE_CLEAR = [0]
+
+
+@pytest.fixture(autouse=True)
+def _bound_xla_cpu_compile_aging():
+    yield
+    _TESTS_SINCE_CLEAR[0] += 1
+    if _TESTS_SINCE_CLEAR[0] >= 50:
+        _TESTS_SINCE_CLEAR[0] = 0
+        jax.clear_caches()
+
+
 # Tests measured > ~10 s on the 8-device CPU mesh (regenerate with
 # `pytest --durations=40`): auto-marked `slow` so `-m "not slow"` gives a
 # < 5 min inner loop. Parametrized entries mark every param id. The FULL
