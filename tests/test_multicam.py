@@ -38,3 +38,31 @@ def test_multicam_sharded_step(rng):
     assert nid.shape == (n_cam, 2)
     # per-camera results with identical inputs must be identical across shards
     np.testing.assert_array_equal(nid, np.tile(nid[:1], (n_cam, 1)) * 0 + nid)
+
+
+def test_step_builders_are_memoized():
+    """make_multicam_step/make_framedp_step must return the SAME wrapper for
+    identical (mesh, config) — the multicam drive loop calls the builder per
+    batch, and a fresh jax.jit wrapper each time would retrace the whole
+    flagship program every batch (round-5 regression guard)."""
+    import numpy as np
+
+    import jax
+    from jax.sharding import Mesh
+
+    from vehicle_counting_tpu.models.yolo import YoloConfig
+    from vehicle_counting_tpu.parallel.cameras import make_multicam_step
+    from vehicle_counting_tpu.parallel.frames import make_framedp_step
+    from vehicle_counting_tpu.tracking import DeepSortParams, TrackerParams
+
+    ycfg = YoloConfig(variant="yolov5n", num_classes=8)
+    hp = DeepSortParams(tracker=TrackerParams(capacity=8), num_classes=2)
+    kw = dict(ycfg=ycfg, hp=hp, image_size=(96, 96), src_hw=(80, 160))
+
+    mesh_c = Mesh(np.array(jax.devices()[:2]), ("cam",))
+    assert make_multicam_step(mesh_c, **kw) is make_multicam_step(
+        Mesh(np.array(jax.devices()[:2]), ("cam",)), **kw)
+
+    mesh_f = Mesh(np.array(jax.devices()[:2]), ("frame",))
+    assert make_framedp_step(mesh_f, **kw) is make_framedp_step(
+        Mesh(np.array(jax.devices()[:2]), ("frame",)), **kw)
